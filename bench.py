@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: ODEConvGRU Moving MNIST training throughput (frames/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s/chip",
+   "vs_baseline": R, ...}
+
+Workload matches the reference's flagship config
+(train_mmnist_odecgru_len20_1ch: 10→10 frames, 64×64×1, dopri5 at
+rtol 1e-4 / atol 1e-5, n_ode_layers 3, 64 channels), with the batch size
+raised to feed the TPU (the per-frame cost is what's compared).
+
+The baseline is the measured PyTorch reference-equivalent throughput from
+scripts/torch_baseline.py, stored in bench_baseline.json (see BASELINE.md
+for hardware caveats).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import jax
+import numpy as np
+
+
+def main() -> None:
+    from ode_rl_tpu.core.config import load_config
+    from ode_rl_tpu.data import MovingMNIST, make_batch_dict
+    from ode_rl_tpu.models import build_model
+    from ode_rl_tpu.train.step import create_train_state, make_train_step
+
+    cfg_path = pathlib.Path(__file__).parent / "configs.yaml"
+    cfg = load_config(["defaults", "tpu_bench_odecgru"], cfg_path)
+
+    batch_size = cfg.batch_size
+    n_in, n_out = cfg.train_in_seq, cfg.train_out_seq
+    loader = iter(MovingMNIST(batch_size=batch_size, n_frames_input=n_in,
+                              n_frames_output=n_out,
+                              num_digits=cfg.num_digits))
+    model = build_model(cfg)
+    batch = make_batch_dict(next(loader), n_in=n_in)
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    train_step = make_train_step(model, donate=False)
+
+    rng = jax.random.key(1)
+
+    # Warmup / compile.
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, batch, sub)
+    jax.block_until_ready(metrics)
+
+    # Timed region — includes on-device data generation, like a real step.
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        video = next(loader)
+        b = make_batch_dict(video, n_in=n_in)
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, b, sub)
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    frames = batch_size * (n_in + n_out) * n_steps
+    fps_per_chip = frames / elapsed / n_chips
+
+    baseline_path = pathlib.Path(__file__).parent / "bench_baseline.json"
+    vs_baseline = 1.0
+    baseline_fps = None
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())
+        baseline_fps = baseline.get("frames_per_sec_per_chip")
+        if baseline_fps:
+            vs_baseline = fps_per_chip / baseline_fps
+
+    metrics_host = jax.device_get(metrics)
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip",
+        "value": round(float(fps_per_chip), 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(float(vs_baseline), 3),
+        "baseline_frames_per_sec": baseline_fps,
+        "n_chips": n_chips,
+        "batch_size": batch_size,
+        "seq_len": n_in + n_out,
+        "steps_timed": n_steps,
+        "mean_nfe": float(np.asarray(metrics_host.get("nfe", -1))),
+        "loss": float(np.asarray(metrics_host["loss"])),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""On-device Moving MNIST generation.
+
+Behavioral parity with the reference's on-the-fly generator
+(reference dataloader.py:47-103): digits bounce in a 64×64 canvas with
+``step_length = 0.1``, integer pixel placement, ``np.maximum`` compositing,
+and the position is stepped *before* the first recorded frame.
+
+TPU-first differences (deliberate):
+  * fully vectorized and jittable — a whole batch is generated on-device
+    from a single PRNG key, so the input pipeline never touches the host
+    (the reference pays cv2 decode / Python DataLoader workers per item);
+  * bounce is computed in closed form with a triangle-wave reflection
+    instead of the reference's per-step clamp loop — identical physics for
+    constant-velocity elastic reflection, no sequential dependency.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ode_rl_tpu.data.sprites import DIGIT_SIZE, get_sprite_bank
+
+IMAGE_SIZE = 64
+STEP_LENGTH = 0.1
+_CANVAS = IMAGE_SIZE - DIGIT_SIZE  # 36
+
+
+def _reflect01(x: jnp.ndarray) -> jnp.ndarray:
+    """Triangle wave: reflect x into [0, 1] (elastic bounce off both walls)."""
+    m = jnp.mod(x, 2.0)
+    return 1.0 - jnp.abs(m - 1.0)
+
+
+def _trajectories(key: jax.Array, n_frames: int) -> jnp.ndarray:
+    """Pixel positions (n_frames, 2) int32 for one digit.
+
+    Position is advanced one step before the first recorded frame, matching
+    the reference generator's step-then-record loop.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    x0 = jax.random.uniform(k1)
+    y0 = jax.random.uniform(k2)
+    theta = jax.random.uniform(k3) * 2.0 * jnp.pi
+    v = jnp.stack([jnp.sin(theta), jnp.cos(theta)])  # (vy, vx)
+    t = jnp.arange(1, n_frames + 1, dtype=jnp.float32)[:, None]  # step first
+    pos = _reflect01(jnp.stack([y0, x0])[None, :] + v[None, :] * t * STEP_LENGTH)
+    return (pos * _CANVAS).astype(jnp.int32)  # truncation, like astype(int32)
+
+
+def _place(sprite: jnp.ndarray, top: jnp.ndarray, left: jnp.ndarray) -> jnp.ndarray:
+    """Place a 28×28 sprite on an empty 64×64 canvas at (top, left)."""
+    canvas = jnp.zeros((IMAGE_SIZE, IMAGE_SIZE), dtype=sprite.dtype)
+    return jax.lax.dynamic_update_slice(canvas, sprite, (top, left))
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "n_frames", "num_digits"))
+def generate_moving_mnist(
+    key: jax.Array,
+    sprite_bank: jnp.ndarray,
+    batch: int,
+    n_frames: int,
+    num_digits: int = 2,
+) -> jnp.ndarray:
+    """Generate (batch, n_frames, 64, 64, 1) float32 video in [-0.5, 0.5].
+
+    NHWC layout; the [-0.5, 0.5] range matches what the reference's
+    DataLoader emits (reference dataloader.py:219-220).
+    """
+    n_bank = sprite_bank.shape[0]
+    sprite_bank = sprite_bank.astype(jnp.float32)
+
+    def one_sequence(seq_key: jax.Array) -> jnp.ndarray:
+        frames = jnp.zeros((n_frames, IMAGE_SIZE, IMAGE_SIZE), dtype=jnp.float32)
+        digit_keys = jax.random.split(seq_key, num_digits)
+        for d in range(num_digits):  # static, small — unrolled
+            kt, ks = jax.random.split(digit_keys[d])
+            pos = _trajectories(kt, n_frames)  # (T, 2)
+            idx = jax.random.randint(ks, (), 0, n_bank)
+            sprite = sprite_bank[idx]
+            placed = jax.vmap(_place, in_axes=(None, 0, 0))(
+                sprite, pos[:, 0], pos[:, 1]
+            )  # (T, 64, 64)
+            frames = jnp.maximum(frames, placed)
+        return frames
+
+    keys = jax.random.split(key, batch)
+    video = jax.vmap(one_sequence)(keys)  # (B, T, H, W)
+    # Clamp: XLA turns /255 into a reciprocal multiply, which can land an
+    # ulp above 1.0 for saturated pixels.
+    video = jnp.clip(video[..., None] / 255.0 - 0.5, -0.5, 0.5)
+    return video
+
+
+class MovingMNIST:
+    """Infinite batched iterator over generated Moving MNIST sequences.
+
+    Capability parity with the reference's ``MovingMNIST`` Dataset +
+    ``inf_generator`` pair; per-host sharding folds ``jax.process_index()``
+    into the stream key so multi-host training sees disjoint data.
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        n_frames_input: int,
+        n_frames_output: int,
+        num_digits: int = 2,
+        data_dir: Optional[str] = None,
+        seed: int = 0,
+        is_train: bool = True,
+    ):
+        self.batch_size = batch_size
+        self.n_frames_input = n_frames_input
+        self.n_frames_output = n_frames_output
+        self.n_frames_total = n_frames_input + n_frames_output
+        self.num_digits = num_digits
+        self.sprite_bank = jnp.asarray(get_sprite_bank(data_dir))
+        base = jax.random.key(seed if is_train else seed + 77_000_003)
+        self._key = jax.random.fold_in(base, jax.process_index())
+
+    def __iter__(self) -> Iterator[jnp.ndarray]:
+        return self
+
+    def __next__(self) -> jnp.ndarray:
+        self._key, sub = jax.random.split(self._key)
+        return generate_moving_mnist(
+            sub,
+            self.sprite_bank,
+            batch=self.batch_size,
+            n_frames=self.n_frames_total,
+            num_digits=self.num_digits,
+        )
+
+
+def parse_datasets(cfg) -> dict:
+    """Build train/test loader objects (same contract as the reference's
+    ``parse_datasets`` → dict with loaders and batch counts)."""
+    total_instances = int(cfg.get("data_points", 10000))
+    train_instances = int(cfg.get("train_test_split", 0.8) * total_instances)
+    test_instances = total_instances - train_instances
+    train_loader = MovingMNIST(
+        batch_size=cfg.batch_size,
+        n_frames_input=cfg.train_in_seq,
+        n_frames_output=cfg.train_out_seq,
+        num_digits=cfg.num_digits,
+        data_dir=cfg.get("data_dir"),
+        seed=cfg.get("seed", 0),
+        is_train=True,
+    )
+    test_loader = MovingMNIST(
+        batch_size=cfg.batch_size,
+        n_frames_input=cfg.test_in_seq,
+        n_frames_output=cfg.test_out_seq,
+        num_digits=cfg.num_digits,
+        data_dir=cfg.get("data_dir"),
+        seed=cfg.get("seed", 0),
+        is_train=False,
+    )
+    return {
+        "train_dataloader": iter(train_loader),
+        "test_dataloader": iter(test_loader),
+        "n_train_batches": max(train_instances // cfg.batch_size, 1),
+        "n_test_batches": max(test_instances // cfg.batch_size, 1),
+    }

@@ -1,0 +1,82 @@
+"""ConvGRU encoder–decoder video predictor.
+
+Capability parity with the reference's ConvGRU model
+(/root/reference/models/ConvGRU.py:10-242, depth=1 — the working path):
+conv downsample ×4 → ConvGRU over the observed frames → a decoder ConvGRU
+free-runs ``n_out`` steps from the final state → transposed-conv upsample
+→ sigmoid; MSE loss against the target frames in [0, 1].
+
+TPU-first: both recurrences are ``lax.scan``; the whole predict+loss is
+one jitted program. Frames are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ode_rl_tpu.nn.convgru import ConvGRUCell, convgru_freerun, convgru_scan
+
+
+class ConvGRUModel(nn.Module):
+    in_channels: int = 1
+    conv_encoder_out_ch: int = 64
+    convgru_out_ch: int = 64
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _leaky(self, x):
+        return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+    @nn.compact
+    def predict(self, batch: Dict, train: bool = True) -> Tuple[jnp.ndarray, Dict]:
+        inputs = batch["observed_data"].astype(self.dtype) + 0.5  # → [0, 1]
+        b, t_in, h, w, c = inputs.shape
+        n_out = batch["tp_to_predict"].shape[0]
+
+        # Encoder: two stride-2 convs (64→16 spatial), then ConvGRU scan.
+        x = inputs.reshape(b * t_in, h, w, c)
+        x = self._leaky(nn.Conv(16, (3, 3), strides=(2, 2), padding=1,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name="enc_0")(x))
+        x = self._leaky(nn.Conv(self.conv_encoder_out_ch, (3, 3), strides=(2, 2),
+                                padding=1, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="enc_1")(x))
+        eh, ew = x.shape[1], x.shape[2]
+        x = x.reshape(b, t_in, eh, ew, -1)
+
+        enc_cell = ConvGRUCell(hidden_dim=self.convgru_out_ch,
+                               kernel_size=self.kernel_size,
+                               dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="enc_gru")
+        h0 = jnp.zeros((b, eh, ew, self.convgru_out_ch), self.dtype)
+        _, h_last = convgru_scan(enc_cell, h0, x)
+
+        # Decoder: free-run ConvGRU from the final state, then upsample.
+        dec_cell = ConvGRUCell(hidden_dim=self.convgru_out_ch,
+                               kernel_size=self.kernel_size,
+                               dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="dec_gru")
+        hiddens, _ = convgru_freerun(dec_cell, h_last, n_out)  # (B, T, eh, ew, C)
+
+        y = hiddens.reshape(b * n_out, eh, ew, -1)
+        y = self._leaky(nn.ConvTranspose(32, (4, 4), strides=(2, 2),
+                                         padding="SAME", dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="dec_0")(y))
+        y = nn.ConvTranspose(self.in_channels, (4, 4), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="dec_1")(y)
+        pred = jax.nn.sigmoid(y).reshape(b, n_out, h, w, self.in_channels)
+        return pred.astype(jnp.float32), {}
+
+    def loss(self, batch: Dict, train: bool = True):
+        pred, aux = self.predict(batch, train=train)
+        target = batch["data_to_predict"].astype(jnp.float32) + 0.5
+        mse = jnp.mean(jnp.square(pred - target))
+        metrics = {"loss": mse, "mse": mse}
+        return mse, (metrics, pred)

@@ -1,0 +1,137 @@
+"""ODE-ConvGRU — the flagship continuous-time video predictor.
+
+Capability parity with the reference's ODEConvGRU
+(/root/reference/models/ODEConvGRU.py:12-99): conv encoder (n_downs
+stride-2) → backward ODE-ConvGRU z0 inference (mu, std; z0 = mu, the
+z_sample branch is dead in the reference) → a Neural-ODE decode of the
+latent trajectory over ``tp_to_predict`` → conv decoder + sigmoid; MSE.
+
+The ``mem=True`` variant performs stepwise residual integration
+(h_{i+1} = h_i + solve(h_i, [t_i, t_{i+1}])), the *intended* semantics of
+the reference's memory mode (/root/reference/modules/DiffEqSolver.py:30-42;
+the reference passes a single-element time tensor there, which degenerates
+to h_next = 2·h_prev — we implement the documented residual-integration
+behavior instead).
+
+TPU-first: the adaptive dopri5 decode runs as a bounded on-device scan
+(ode/solvers.py) inside the same XLA program as the conv stacks; NFE and
+step-acceptance counters come back as metrics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ode_rl_tpu.nn.conv_stacks import ConvDecoder, ConvEncoder, ConvNet
+from ode_rl_tpu.nn.odeconvgru import ODEConvGRUEncoder
+from ode_rl_tpu.ode import odeint_aux
+
+
+class ODEConvGRUModel(nn.Module):
+    in_channels: int = 1
+    n_downs: int = 2
+    conv_encoder_out_ch: int = 64
+    neural_ode_decoder_out_ch: int = 64
+    neural_ode_n_units: int = 64
+    n_ode_layers: int = 3
+    method: str = "dopri5"
+    rtol: float = 1e-4
+    atol: float = 1e-5
+    ode_max_steps: int = 128
+    mem: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def predict(self, batch: Dict, train: bool = True) -> Tuple[jnp.ndarray, Dict]:
+        inputs = batch["observed_data"].astype(self.dtype) + 0.5  # → [0, 1]
+        observed_tp = batch["observed_tp"]
+        tp_to_predict = batch["tp_to_predict"]
+        b, t_in, h, w, c = inputs.shape
+
+        # 1. Conv-encode the observed frames.
+        encoder = ConvEncoder(out_ch=self.conv_encoder_out_ch,
+                              n_downs=self.n_downs, activation="leaky_relu",
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="conv_encoder")
+        enc = encoder(inputs.reshape(b * t_in, h, w, c))
+        eh, ew = enc.shape[1], enc.shape[2]
+        enc = enc.reshape(b, t_in, eh, ew, -1)
+
+        # 2. Backward ODE-ConvGRU → (mu, std); z0 = mu.
+        z0_encoder = ODEConvGRUEncoder(
+            ch=self.conv_encoder_out_ch,
+            ode_n_layers=self.n_ode_layers,
+            ode_n_units=self.neural_ode_n_units,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="z0_encoder")
+        mu, std, _ = z0_encoder(enc, observed_tp)
+        z0 = mu  # the reference's z_sample path is dead (ODEConvGRU.py:72-79)
+
+        # 3. Neural-ODE decode of the latent trajectory.
+        ode_func = ConvNet(out_ch=self.neural_ode_decoder_out_ch,
+                           n_layers=self.n_ode_layers,
+                           n_units=self.neural_ode_n_units,
+                           activation="relu", final_tanh=False,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="ode_decoder_func")
+        # Prime the dynamics net outside the solver's lax.scan so its
+        # params exist before any control-flow trace (XLA CSEs this with
+        # the solver's first stage eval). The field is autonomous: t is
+        # ignored, like the reference's ODEFunc.forward.
+        _ = ode_func(mu)
+        f = lambda t, y: ode_func(y)
+
+        if self.mem:
+            # Residual stepwise integration: one short solve per interval,
+            # accumulated onto the running state.
+            t_grid = jnp.concatenate([observed_tp[-1:], tp_to_predict])
+
+            def step(h_prev, t_pair):
+                seg = jnp.stack(t_pair)
+                ys, _ = odeint_aux(f, h_prev, seg, method=self.method,
+                                   rtol=self.rtol, atol=self.atol,
+                                   max_steps=max(self.ode_max_steps // 8, 8))
+                h_next = h_prev + jax.tree_util.tree_map(lambda a: a[-1], ys)
+                return h_next, h_next
+
+            # Unrolled over the (static) number of output frames: each
+            # interval needs its own adaptive solve.
+            ys_list = []
+            h_cur = z0
+            for i in range(tp_to_predict.shape[0]):
+                h_cur, _ = step(h_cur, (t_grid[i], t_grid[i + 1]))
+                ys_list.append(h_cur)
+            sol_y = jnp.stack(ys_list, axis=1)  # (B, T, eh, ew, C)
+            stats_metrics = {}
+        else:
+            ys, stats = odeint_aux(f, z0, tp_to_predict, method=self.method,
+                                   rtol=self.rtol, atol=self.atol,
+                                   max_steps=self.ode_max_steps)
+            sol_y = jnp.moveaxis(ys, 0, 1)       # time-first → batch-first
+            stats_metrics = {
+                "nfe": stats.nfe, "ode_accepted": stats.naccept,
+                "ode_rejected": stats.nreject,
+                "ode_converged": stats.converged.astype(jnp.int32),
+            }
+
+        # 4. Conv-decode each latent frame; sigmoid to [0, 1].
+        t_out = sol_y.shape[1]
+        y = sol_y.reshape(b * t_out, eh, ew, -1)
+        decoder = ConvDecoder(out_ch=self.in_channels, n_ups=self.n_downs,
+                              activation="leaky_relu", dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="conv_decoder")
+        pred = jax.nn.sigmoid(decoder(y)).reshape(b, t_out, h, w,
+                                                  self.in_channels)
+        return pred.astype(jnp.float32), stats_metrics
+
+    def loss(self, batch: Dict, train: bool = True):
+        pred, aux = self.predict(batch, train=train)
+        target = batch["data_to_predict"].astype(jnp.float32) + 0.5
+        mse = jnp.mean(jnp.square(pred - target))
+        metrics = {"loss": mse, "mse": mse, **aux}
+        return mse, (metrics, pred)

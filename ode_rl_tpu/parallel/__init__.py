@@ -1,0 +1,3 @@
+from ode_rl_tpu.parallel.mesh import (
+    make_mesh, shard_batch, shard_pytree, replicate, data_parallel_sharding,
+)

@@ -1,0 +1,159 @@
+"""Training / evaluation driver.
+
+Capability parity with the reference driver (/root/reference/train_test.py):
+epoch × batch loop, per-step loss logging, periodic checkpointing
+(``ckpt_save_freq``), per-epoch ETA banner, and the test protocol with
+per-horizon MSE/PSNR/SSIM and final-metric report.
+
+TPU-first: the loop body is a single jitted step; batches are generated on
+device; evaluation metrics are computed on device and fetched once per
+batch.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ode_rl_tpu.core.checkpoint import CheckpointManager
+from ode_rl_tpu.core.config import resolve_run_id
+from ode_rl_tpu.core.logging import MetricLogger
+from ode_rl_tpu.data.mmnist import parse_datasets
+from ode_rl_tpu.data.protocol import make_batch_dict
+from ode_rl_tpu.models import build_model
+from ode_rl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ode_rl_tpu.train.step import (
+    create_train_state, make_eval_step, make_train_step)
+
+
+def _needs_flow_labels(cfg) -> bool:
+    return cfg.model in ("S3VAE",)
+
+
+def setup(cfg, seed: Optional[int] = None):
+    """Build model, loaders, initial state, and jitted steps."""
+    if cfg.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    loaders = parse_datasets(cfg)
+    model = build_model(cfg)
+    rng = jax.random.key(seed if seed is not None else cfg.get("seed", 0))
+    n_in = cfg.train_in_seq if cfg.phase == "train" else cfg.test_in_seq
+    loader = (loaders["train_dataloader"] if cfg.phase == "train"
+              else loaders["test_dataloader"])
+    sample = make_batch_dict(next(loader), n_in=n_in,
+                             with_flow_labels=_needs_flow_labels(cfg))
+    state = create_train_state(model, cfg, sample, rng)
+    return model, loaders, state, rng
+
+
+def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
+    run_id = resolve_run_id(cfg)
+    logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
+    logger = MetricLogger(logdir, use_wandb=not cfg.get("off_wandb", True),
+                          quiet=cfg.get("quiet", False))
+    ckpt = CheckpointManager(logdir / "checkpoints",
+                             tag=cfg.get("ckpt_id", run_id))
+
+    model, loaders, state, rng = setup(cfg)
+    mesh = make_mesh() if cfg.get("use_mesh", False) else None
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(model)
+    loader = loaders["train_dataloader"]
+    n_train_batches = (int(cfg.get("steps_per_epoch", 0))
+                       or loaders["n_train_batches"])
+    total_steps = n_train_batches * cfg.epochs
+
+    # Auto-resume if a checkpoint exists.
+    start_step = 0
+    if ckpt.latest_step() is not None and cfg.get("auto_resume", True):
+        restored = ckpt.restore({"params": state.params,
+                                 "opt_state": state.opt_state})
+        start_step = restored["step"]
+        state = state.replace(
+            step=jnp.asarray(start_step, jnp.int32),
+            params=restored["state"]["params"],
+            opt_state=restored["state"]["opt_state"])
+        print(f"resumed from step {start_step}")
+
+    step = start_step
+    last_metrics: Dict = {}
+    for epoch in range(cfg.epochs):
+        epoch_loss = 0.0
+        for _ in range(n_train_batches):
+            if step >= total_steps:
+                break
+            video = next(loader)
+            batch = make_batch_dict(
+                video, n_in=cfg.train_in_seq,
+                with_flow_labels=_needs_flow_labels(cfg))
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            step += 1
+            if step % cfg.get("loss_log_freq", 50) == 0 or step == 1:
+                metrics = jax.device_get(metrics)
+                last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                logger.log(step, last_metrics)
+            epoch_loss += float(metrics["loss"])
+            if step % cfg.get("ckpt_save_freq", 5000) == 0:
+                ckpt.save(step, {"params": state.params,
+                                 "opt_state": state.opt_state},
+                          config=cfg.to_dict())
+        logger.log_epoch(epoch, epoch_loss / max(n_train_batches, 1), step,
+                         total_steps)
+    ckpt.save(max(step, 1), {"params": state.params,
+                             "opt_state": state.opt_state},
+              config=cfg.to_dict())
+    logger.close()
+    return {"final_step": step, **last_metrics}
+
+
+def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
+    run_id = resolve_run_id(cfg)
+    logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
+    logger = MetricLogger(logdir, quiet=cfg.get("quiet", False))
+
+    model, loaders, state, rng = setup(cfg)
+    # Load trained params: the reference loads by ckpt_id + step
+    # (helpers/utils.py:229-252); we also auto-pick the latest.
+    if cfg.get("load_model", False):
+        train_id = f"{cfg.id.replace('_test', '_train')}_{cfg.train_in_seq}_{cfg.train_out_seq}"
+        ckpt_dir = (pathlib.Path(cfg.get("logdir", "logs")) / cfg.model /
+                    train_id / "checkpoints")
+        ckpt = CheckpointManager(ckpt_dir, tag=cfg.get("ckpt_id", train_id))
+        restored = ckpt.restore({"params": state.params,
+                                 "opt_state": state.opt_state})
+        state = state.replace(params=restored["state"]["params"])
+
+    eval_step = make_eval_step(model)
+    loader = loaders["test_dataloader"]
+    batches = int(cfg.get("eval_batches", 0)) or loaders["n_test_batches"]
+
+    all_metrics = []
+    for it in range(batches):
+        video = next(loader)
+        batch = make_batch_dict(video, n_in=cfg.test_in_seq,
+                                with_flow_labels=_needs_flow_labels(cfg))
+        metrics, _pred = eval_step(state.params, batch)
+        all_metrics.append(jax.device_get(
+            {k: v for k, v in metrics.items() if not k.startswith("aux_")}))
+
+    # Mean over batches → per-horizon curves; report the final horizon
+    # (the reference's "final test metrics", train_test.py:142-143).
+    stacked = {k: np.mean(np.stack([m[k] for m in all_metrics]), axis=0)
+               for k in all_metrics[0]}
+    final = {f"final_{k}": float(v[-1]) for k, v in stacked.items()}
+    per_horizon = {k: v.tolist() for k, v in stacked.items()}
+    logger.log(0, final)
+    (logdir / "per_horizon.json").parent.mkdir(parents=True, exist_ok=True)
+    import json
+    (logdir / "per_horizon.json").write_text(json.dumps(per_horizon))
+    logger.close()
+    return {**final, "per_horizon": per_horizon}

@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ode_rl_tpu.core.config import Config
+from ode_rl_tpu.data import MovingMNIST, make_batch_dict
+from ode_rl_tpu.models.convgru import ConvGRUModel
+from ode_rl_tpu.models.odeconvgru import ODEConvGRUModel
+from ode_rl_tpu.train.step import (
+    create_train_state, make_eval_step, make_train_step)
+
+CFG = Config({"lr": 1e-3, "clip": -1})
+
+
+def tiny_batch(n_in=4, n_out=3, b=2):
+    loader = iter(MovingMNIST(batch_size=b, n_frames_input=n_in,
+                              n_frames_output=n_out))
+    return make_batch_dict(next(loader), n_in=n_in)
+
+
+def small_convgru():
+    return ConvGRUModel(in_channels=1, conv_encoder_out_ch=32,
+                        convgru_out_ch=32)
+
+
+def small_odeconvgru(**kw):
+    return ODEConvGRUModel(in_channels=1, conv_encoder_out_ch=32,
+                           neural_ode_decoder_out_ch=32,
+                           neural_ode_n_units=32, n_ode_layers=1,
+                           ode_max_steps=64, **kw)
+
+
+@pytest.mark.parametrize("model_fn", [small_convgru, small_odeconvgru])
+def test_predict_shape_and_range(model_fn):
+    model = model_fn()
+    batch = tiny_batch()
+    params = model.init(jax.random.key(0), batch, train=False,
+                        method=model.predict)
+    pred, aux = model.apply(params, batch, train=False, method=model.predict)
+    assert pred.shape == (2, 3, 64, 64, 1)
+    assert float(pred.min()) >= 0.0 and float(pred.max()) <= 1.0
+
+
+@pytest.mark.parametrize("model_fn", [small_convgru, small_odeconvgru])
+def test_loss_decreases(model_fn):
+    model = model_fn()
+    batch = tiny_batch()
+    state = create_train_state(model, CFG, batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+    losses = []
+    rng = jax.random.key(1)
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_odeconvgru_reports_nfe():
+    model = small_odeconvgru()
+    batch = tiny_batch()
+    params = model.init(jax.random.key(0), batch, train=False,
+                        method=model.predict)
+    _, aux = model.apply(params, batch, train=False, method=model.predict)
+    assert int(aux["nfe"]) >= 7
+    assert int(aux["ode_converged"]) == 1
+
+
+def test_odeconvgru_mem_mode():
+    model = small_odeconvgru(mem=True)
+    batch = tiny_batch()
+    params = model.init(jax.random.key(0), batch, train=False,
+                        method=model.predict)
+    pred, _ = model.apply(params, batch, train=False, method=model.predict)
+    assert pred.shape == (2, 3, 64, 64, 1)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+@pytest.mark.parametrize("method", ["euler", "rk4", "midpoint"])
+def test_odeconvgru_fixed_step_methods(method):
+    model = small_odeconvgru(method=method)
+    batch = tiny_batch()
+    params = model.init(jax.random.key(0), batch, train=False,
+                        method=model.predict)
+    pred, _ = model.apply(params, batch, train=False, method=model.predict)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_eval_step_per_horizon():
+    model = small_convgru()
+    batch = tiny_batch()
+    state = create_train_state(model, CFG, batch, jax.random.key(0))
+    ev = make_eval_step(model)
+    metrics, pred = ev(state.params, batch)
+    assert metrics["mse"].shape == (3,)
+    assert pred.shape == (2, 3, 64, 64, 1)
+
+
+def test_long_horizon_eval():
+    """The reference's stress case: few observed, many predicted frames."""
+    model = small_convgru()
+    batch = tiny_batch(n_in=4, n_out=20)
+    params = model.init(jax.random.key(0), batch, train=False,
+                        method=model.predict)
+    pred, _ = model.apply(params, batch, train=False, method=model.predict)
+    assert pred.shape == (2, 20, 64, 64, 1)

@@ -1,0 +1,131 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ode_rl_tpu.ode import odeint, odeint_aux
+
+
+def exp_decay(t, y):
+    return -y
+
+
+TS = jnp.linspace(0.0, 2.0, 11)
+
+
+@pytest.mark.parametrize(
+    "method,tol",
+    [("dopri5", 5e-5), ("rk4", 1e-5), ("midpoint", 5e-4),
+     ("euler", 2e-2), ("adams", 5e-4)],
+)
+def test_closed_form_linear(method, tol):
+    ys = odeint(exp_decay, jnp.ones((2, 3)), TS, method=method, substeps=4)
+    exact = jnp.exp(-TS)[:, None, None]
+    assert jnp.max(jnp.abs(ys - exact)) < tol
+
+
+def test_dopri5_nonlinear_tight_tol():
+    # dy/dt = y², y0 = 0.5 → y(t) = 1 / (2 - t)
+    ts = jnp.linspace(0.0, 1.5, 7)
+    ys, stats = odeint_aux(lambda t, y: y * y, jnp.array(0.5), ts,
+                           method="dopri5", rtol=1e-6, atol=1e-8)
+    exact = 1.0 / (2.0 - ts)
+    assert jnp.max(jnp.abs(ys - exact)) < 1e-5
+    assert bool(stats.converged)
+    assert int(stats.nfe) > 0
+
+
+def test_time_dependent_field():
+    # dy/dt = t → y = y0 + t²/2 (exposes bugs that drop the t argument)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    ys = odeint(lambda t, y: jnp.broadcast_to(t, y.shape), jnp.zeros(()), ts,
+                method="dopri5", rtol=1e-7, atol=1e-9)
+    assert jnp.max(jnp.abs(ys - ts**2 / 2)) < 1e-5
+
+
+def test_first_output_is_y0():
+    y0 = jnp.array([1.7, -0.3])
+    ys = odeint(exp_decay, y0, TS)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
+
+
+def test_gradient_wrt_params_matches_analytic():
+    # y' = -a y ⇒ d y(T) / d a = -T y0 e^{-aT}
+    def terminal(a):
+        ys = odeint(lambda t, y: -a * y, jnp.array(1.0),
+                    jnp.array([0.0, 1.0]), rtol=1e-7, atol=1e-9)
+        return ys[-1]
+
+    a = 0.7
+    g = jax.grad(terminal)(jnp.array(a))
+    assert abs(float(g) - (-np.exp(-a))) < 1e-4
+
+
+def test_gradient_through_fixed_step():
+    def terminal(a):
+        ys = odeint(lambda t, y: -a * y, jnp.array(1.0),
+                    jnp.array([0.0, 1.0]), method="rk4", substeps=20)
+        return ys[-1]
+
+    g = jax.grad(terminal)(jnp.array(0.7))
+    assert abs(float(g) - (-np.exp(-0.7))) < 1e-4
+
+
+def test_pytree_state():
+    f = lambda t, y: {"a": -y["a"], "b": 2.0 * y["b"]}
+    ys = odeint(f, {"a": jnp.ones(2), "b": jnp.ones(2)},
+                jnp.linspace(0.0, 1.0, 5))
+    assert abs(float(ys["a"][-1, 0]) - np.exp(-1)) < 1e-3
+    assert abs(float(ys["b"][-1, 0]) - np.exp(2)) < 2e-3
+
+
+def test_against_scipy_reference():
+    """Numerics parity against an independent adaptive RK45 (stiff-ish
+    nonlinear oscillator)."""
+    from scipy.integrate import solve_ivp
+
+    def field_np(t, y):
+        return np.array([y[1], -np.sin(y[0]) - 0.1 * y[1]])
+
+    def field_jax(t, y):
+        return jnp.stack([y[1], -jnp.sin(y[0]) - 0.1 * y[1]])
+
+    ts = np.linspace(0.0, 5.0, 11)
+    ref = solve_ivp(field_np, (0, 5), [1.2, 0.0], t_eval=ts,
+                    rtol=1e-8, atol=1e-10).y.T
+    ys = odeint(field_jax, jnp.array([1.2, 0.0]), jnp.asarray(ts),
+                method="dopri5", rtol=1e-6, atol=1e-8, max_steps=512)
+    assert np.max(np.abs(np.asarray(ys) - ref)) < 1e-4
+
+
+def test_single_time_point_returns_y0():
+    ys, stats = odeint_aux(exp_decay, jnp.ones(3), jnp.array([0.3]))
+    assert ys.shape == (1, 3)
+    np.testing.assert_allclose(np.asarray(ys[0]), 1.0)
+
+
+def test_max_steps_exhaustion_reports_nonconverged():
+    ys, stats = odeint_aux(lambda t, y: y * y, jnp.array(0.5),
+                           jnp.array([0.0, 1.0]), method="dopri5",
+                           rtol=1e-10, atol=1e-12, max_steps=3)
+    assert not bool(stats.converged)
+
+
+def test_jit_and_vmap_compose():
+    f = lambda t, y: -y
+
+    @jax.jit
+    def solve(y0):
+        return odeint(f, y0, jnp.linspace(0, 1, 4))
+
+    batched = jax.vmap(solve)(jnp.ones((5, 2)))
+    assert batched.shape == (5, 4, 2)
+
+
+def test_nfe_scales_with_tolerance():
+    f = lambda t, y: jnp.stack([y[1], -y[0]])
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 6.0, 4)
+    _, loose = odeint_aux(f, y0, ts, rtol=1e-3, atol=1e-4)
+    _, tight = odeint_aux(f, y0, ts, rtol=1e-8, atol=1e-10, max_steps=1024)
+    assert int(tight.nfe) > int(loose.nfe)
