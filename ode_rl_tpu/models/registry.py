@@ -51,9 +51,7 @@ def _build_vidode(cfg):
     return VidODEModel(
         in_channels=cfg.in_channels,
         n_downs=cfg.n_downs,
-        conv_encoder_out_ch=cfg.conv_encoder_out_ch,
-        neural_ode_n_units=cfg.neural_ode_n_units,
-        n_ode_layers=cfg.get("n_ode_layers", 2),
+        n_layers=cfg.get("n_layers", 3),
         method=cfg.decode_diff_method,
         rtol=float(cfg.get("odeint_rtol", 1e-3)),
         atol=float(cfg.get("odeint_atol", 1e-4)),
@@ -64,18 +62,29 @@ def _build_vidode(cfg):
 
 def _build_s3vae(cfg):
     from ode_rl_tpu.models.s3vae import S3VAEModel
+    n_hid = cfg.get("n_hid", [300])
+    n_hid0 = n_hid[0] if isinstance(n_hid, (list, tuple)) else n_hid
     return S3VAEModel(
         in_channels=cfg.in_channels,
         d_zf=cfg.d_zf,
         d_zt=cfg.d_zt,
         encoder=cfg.get("encoder", "default"),
+        n_hid=int(n_hid0) if cfg.get("rim", False) else 512,
+        encoder_out_dims=cfg.get("encoder_out_dims", 128),
         k_stat=cfg.get("k_stat", -1),
-        l0=cfg.get("l0", 10.0), l1=cfg.get("l1", 1000.0),
-        l2=cfg.get("l2", 100.0), l3=cfg.get("l3", 1.0),
-        margin=cfg.get("m", 1.0),
-        num_slots=cfg.get("num_slots", 3),
+        l0=float(cfg.get("l0", 10.0)), l1=float(cfg.get("l1", 1000.0)),
+        l2=float(cfg.get("l2", 100.0)), l3=float(cfg.get("l3", 1.0)),
+        margin=float(cfg.get("m", 1.0)),
         slot_att=cfg.get("slot_att", False),
+        num_slots=cfg.get("num_slots", 3),
+        slot_size=cfg.get("slot_size", 128),
+        num_iterations=cfg.get("num_iterations", 3),
+        rim=cfg.get("rim", False),
+        unit_per_rim=cfg.get("unit_per_rim", 100),
         flow_grid=cfg.get("flow_grid", 3),
+        extrapolate=cfg.get("extrapolate", False),
+        data_points=int(cfg.get("data_points", 10000)),
+        train_test_split=float(cfg.get("train_test_split", 0.8)),
         dtype=_compute_dtype(cfg),
     )
 
@@ -84,34 +93,47 @@ def _build_s2vae(cfg):
     from ode_rl_tpu.models.s2vae import S2VAEModel
     return S2VAEModel(
         in_channels=cfg.in_channels,
+        d_zf=cfg.get("d_zf", 128),
         num_slots=cfg.get("num_slots", 3),
         slot_size=cfg.get("slot_size", 128),
         num_iterations=cfg.get("num_iterations", 3),
-        transition=cfg.get("transition", "gru"),
+        gru_layers=cfg.get("gru_layers", 2),
+        transition="cgru" if cfg.model == "CS2VAE"
+        else cfg.get("transition", "gru"),
         conv_mode=cfg.model == "CS2VAE",
+        prior=cfg.get("prior", "standard"),
+        unmasked=cfg.get("unmasked", True),
         dtype=_compute_dtype(cfg),
     )
+
+
+def _first(v):
+    return v[0] if isinstance(v, (list, tuple)) else v
 
 
 def _build_ds2vae(cfg):
     from ode_rl_tpu.models.ds2vae import DS2VAEModel
     return DS2VAEModel(
         in_channels=cfg.in_channels,
+        d_zf=cfg.get("d_zf", 128),
+        n_hid=int(_first(cfg.get("n_hid", [300]))),
         num_slots=cfg.get("num_slots", 3),
         slot_size=cfg.get("slot_size", 128),
         num_iterations=cfg.get("num_iterations", 3),
-        num_blocks=cfg.get("num_blocks", [3])[0]
-        if isinstance(cfg.get("num_blocks", 3), (list, tuple))
-        else cfg.get("num_blocks", 3),
-        topk=cfg.get("topk", [3])[0]
-        if isinstance(cfg.get("topk", 3), (list, tuple))
-        else cfg.get("topk", 3),
+        num_blocks=int(_first(cfg.get("num_blocks", [3]))),
+        topk=int(_first(cfg.get("topk", [3]))),
         dtype=_compute_dtype(cfg),
     )
 
 
+def _build_convlstm(cfg):
+    from ode_rl_tpu.models.convlstm import ConvLSTMED
+    return ConvLSTMED(in_channels=cfg.in_channels, dtype=_compute_dtype(cfg))
+
+
 MODEL_REGISTRY: Dict[str, Callable] = {
     "ConvGRU": _build_convgru,
+    "ConvLSTM": _build_convlstm,
     "cgrudecODE": _build_convgru,
     "ODEConv": _build_odeconvgru,
     "VidODE": _build_vidode,

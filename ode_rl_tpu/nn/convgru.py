@@ -32,6 +32,14 @@ class ConvGRUCell(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
+    # Profile-driven default (SURVEY §7 hard-part #4): with the fused
+    # Pallas gate kernels the ODEConvGRU train step measured 46k
+    # frames/s/chip on v5e vs 179k with plain XLA — the kernel boundary
+    # between the two gate convs blocks XLA's conv-epilogue fusion, and
+    # the per-sample grid serializes the batch. XLA therefore stays the
+    # default; "auto"/"interpret" select the Pallas path (ops/gru_gates).
+    gate_impl: str = "xla"
+
     @nn.compact
     def __call__(
         self,
@@ -40,6 +48,8 @@ class ConvGRUCell(nn.Module):
         mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """h: (B, H, W, hidden); x: (B, H, W, Cin) or None (free-run)."""
+        from ode_rl_tpu.ops.gru_gates import fused_gru_blend, fused_gru_gates
+
         if x is None:
             # Free-run: the reference feeds explicit zeros of the input
             # width; an all-zero input contributes only the conv bias, so
@@ -50,25 +60,28 @@ class ConvGRUCell(nn.Module):
             feats, (self.kernel_size, self.kernel_size), padding="SAME",
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)
 
+        c = self.hidden_dim
+        groups_g = max(2 * c // self.groups_div, 1)
+        groups_c = max(c // self.groups_div, 1)
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        g_scale = self.param("gates_scale", ones, (2 * c,), self.param_dtype)
+        g_bias = self.param("gates_bias", zeros, (2 * c,), self.param_dtype)
+        c_scale = self.param("cand_scale", ones, (c,), self.param_dtype)
+        c_bias = self.param("cand_bias", zeros, (c,), self.param_dtype)
+
+        # Gate conv → fused GroupNorm+σ+(r·h) (one VMEM pass on TPU).
         combined = jnp.concatenate([x, h], axis=-1)
-        gates = conv(2 * self.hidden_dim, "conv_gates")(combined)
-        gates = nn.GroupNorm(
-            num_groups=max(2 * self.hidden_dim // self.groups_div, 1),
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="norm_gates")(gates)
-        z, r = jnp.split(gates, 2, axis=-1)
-        z = jax.nn.sigmoid(z)
-        r = jax.nn.sigmoid(r)
+        gates_raw = conv(2 * c, "conv_gates")(combined)
+        z, rh = fused_gru_gates(gates_raw, h, g_scale, g_bias, groups_g,
+                                impl=self.gate_impl)
 
-        combined_c = jnp.concatenate([x, r * h], axis=-1)
-        cand = conv(self.hidden_dim, "conv_cand")(combined_c)
-        cand = nn.GroupNorm(
-            num_groups=max(self.hidden_dim // self.groups_div, 1),
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="norm_cand")(cand)
-        cand = jnp.tanh(cand)
+        # Candidate conv → fused GroupNorm+tanh+convex-blend.
+        combined_c = jnp.concatenate([x, rh], axis=-1)
+        cand_raw = conv(c, "conv_cand")(combined_c)
+        h_next = fused_gru_blend(cand_raw, z, h, c_scale, c_bias, groups_c,
+                                 impl=self.gate_impl)
 
-        h_next = (1.0 - z) * h + z * cand
         if mask is not None:
             # Per-step mask gating: masked-out steps keep the old state
             # (reference ConvGRUCell mask path / Vid-ODE base_conv_gru).

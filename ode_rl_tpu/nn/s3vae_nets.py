@@ -1,0 +1,335 @@
+"""S3VAE encoder / dynamics / decoder networks.
+
+Capability parity with /root/reference/modules/S3VAE_ED.py:
+  * FrameEncoder — three conv stacks (BatchNorm + LeakyReLU 0.2, final
+    tanh): 'default' 64×64→1×1 (:20-27), 'odecgru'/'cgru' →4×4 (:29-35),
+    'cgru_sa' →8×8 (:37-43);
+  * GRUEncoder — static (last hidden → mu, softplus std), dynamic
+    (posterior GRU then free-run rollout with constant ones input,
+    :104-131; optional RIM dynamics :107-117), prior (GRU over the
+    posterior (mu, std) sequence, :133-135);
+  * ConvGRUEncoderS3 — spatial variant with ConvGRU cells (:184-243);
+    the reference's 'odecgru' branch builds ODE nets but its forward
+    references an undefined cell (a latent bug) — here the odecgru mode
+    implements the *intended* semantics: ODE-ConvGRU z0 inference +
+    Neural-ODE rollout of the dynamic latent;
+  * FrameDecoder — upsample stacks per encoder type (:245-286);
+  * DFP — flow-motion grid classifier (:288-320). The reference applies
+    sigmoid twice (inside DFP and again in the BCE call, S3VAE.py:388);
+    here it is applied once.
+
+BatchNorm runs with torch-parity momentum 0.9 / eps 1e-5 and running
+stats carried in the 'batch_stats' collection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ode_rl_tpu.nn.conv_stacks import ConvNet
+from ode_rl_tpu.nn.convgru import ConvGRUCell, convgru_freerun, convgru_scan
+from ode_rl_tpu.nn.odeconvgru import ODEConvGRUEncoder
+from ode_rl_tpu.nn.rims import RIM
+from ode_rl_tpu.ode import odeint_aux
+
+ENCODER_RESIZE = {"default": 64, "odecgru": 16, "cgru": 16, "cgru_sa": 8}
+
+
+class FrameEncoder(nn.Module):
+    encoder_type: str = "default"
+    out_dims: int = 128
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        conv = lambda feats, k, s, p, name: nn.Conv(
+            feats, (k, k), strides=(s, s), padding=p, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        lrelu = lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+
+        if self.encoder_type == "default":
+            plan = [(64, 4, 2, 1), (128, 4, 2, 1), (256, 4, 2, 1),
+                    (512, 4, 2, 1)]
+            for i, (f, k, s, p) in enumerate(plan):
+                x = lrelu(bn(f"bn_{i}")(conv(f, k, s, p, f"conv_{i}")(x)))
+            x = conv(self.out_dims, 4, 1, 0, "conv_out")(x)  # 4×4 → 1×1
+            x = jnp.tanh(bn("bn_out")(x))
+        elif self.encoder_type in ("odecgru", "cgru"):
+            plan = [(16, 4, 2, 1), (32, 4, 2, 1), (64, 4, 2, 1)]
+            for i, (f, k, s, p) in enumerate(plan):
+                x = lrelu(bn(f"bn_{i}")(conv(f, k, s, p, f"conv_{i}")(x)))
+            x = conv(self.out_dims, 4, 2, 1, "conv_out")(x)  # → 4×4
+            x = jnp.tanh(bn("bn_out")(x))
+        elif self.encoder_type == "cgru_sa":
+            plan = [(16, 3, 2, 1), (32, 3, 2, 1), (64, 3, 1, 1)]
+            for i, (f, k, s, p) in enumerate(plan):
+                x = lrelu(bn(f"bn_{i}")(conv(f, k, s, p, f"conv_{i}")(x)))
+            x = conv(self.out_dims, 3, 2, 1, "conv_out")(x)  # → 8×8
+            x = jnp.tanh(bn("bn_out")(x))
+        else:
+            raise NotImplementedError(self.encoder_type)
+        return x
+
+
+class _GRU(nn.Module):
+    """Unidirectional GRU over (B, T, F) returning (outs, last_hidden)."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
+        b = xs.shape[0]
+        cell = nn.GRUCell(features=self.hidden, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="cell")
+        scan = nn.scan(
+            lambda c, h, x: c(h, x),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1)
+        if h0 is None:
+            h0 = jnp.zeros((b, self.hidden), self.dtype)
+        h_last, outs = scan(cell, h0, xs)
+        return outs, h_last
+
+
+class GRUEncoder(nn.Module):
+    """Vector-latent (encoder='default') static/dynamic/prior heads."""
+
+    hidden: int
+    z_size: int
+    head_type: str = "static"        # static | dynamic | prior
+    rim: bool = False
+    num_rims: int = 1
+    rim_num_blocks: int = 3
+    rim_topk: int = 3
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, out_seq: Optional[int] = None,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        dense = lambda feats, name: nn.Dense(
+            feats, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        outs, hidden = _GRU(self.hidden, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="gru")(xs)
+
+        if self.head_type == "static":
+            mean = dense(self.z_size, "mean")(hidden)
+            std = jax.nn.softplus(dense(self.z_size, "std")(hidden))
+            return mean, std
+
+        if self.head_type == "prior":
+            mean = dense(self.z_size, "mean")(outs)
+            std = jax.nn.softplus(dense(self.z_size, "std")(outs))
+            return mean, std
+
+        # dynamic: free-run a second recurrence from the posterior hidden
+        # with a constant ones input (reference S3VAE_ED.py:104-131).
+        assert out_seq is not None
+        b = xs.shape[0]
+        ones = jnp.ones((b, out_seq, self.hidden), self.dtype)
+        if self.rim:
+            rim = RIM(ninp=self.hidden, n_hid=[self.hidden],
+                      num_blocks=[self.rim_num_blocks],
+                      topk=[self.rim_topk], dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="rim")
+            dyn, _ = rim(ones, h0=[hidden], train=train)
+            unit = self.hidden // self.num_rims
+            dyn = dyn.reshape(b, out_seq, unit, self.num_rims)
+            dyn = jnp.swapaxes(dyn, 2, 3)          # (B, T, num_rims, unit)
+            mean = dense(self.z_size, "mean")(dyn)
+            std = jax.nn.softplus(dense(self.z_size, "std")(dyn))
+            mean = jnp.swapaxes(mean, 2, 3).reshape(b, out_seq, -1)
+            std = jnp.swapaxes(std, 2, 3).reshape(b, out_seq, -1)
+            return mean, std
+        dyn_outs, _ = _GRU(self.hidden, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name="dynamic_gru")(ones, h0=hidden)
+        mean = dense(self.z_size, "mean")(dyn_outs)
+        std = jax.nn.softplus(dense(self.z_size, "std")(dyn_outs))
+        return mean, std
+
+
+class _ConvHead(nn.Module):
+    """conv(out→out) ReLU conv(out→128) ReLU conv(128→out) head
+    (reference mean_net/logvar_net, S3VAE_ED.py:206-214)."""
+
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda feats, name: nn.Conv(
+            feats, (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        x = jax.nn.relu(conv(self.out_ch, "c0")(x))
+        x = jax.nn.relu(conv(128, "c1")(x))
+        return conv(self.out_ch, "c2")(x)
+
+
+class ConvGRUEncoderS3(nn.Module):
+    """Spatial-latent static/dynamic/prior heads (encoder ∈ cgru,
+    cgru_sa, odecgru)."""
+
+    out_ch: int
+    head_type: str = "static"
+    mode: str = "cgru"              # cgru | cgru_sa | odecgru
+    ode_n_units: int = 64
+    ode_method: str = "dopri5"
+    rtol: float = 1e-4
+    atol: float = 1e-5
+    ode_max_steps: int = 64
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, out_seq: Optional[int] = None,
+                 timesteps: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, t, h, w, c = xs.shape
+        mean_net = _ConvHead(self.out_ch, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="mean_net")
+        logvar_net = _ConvHead(self.out_ch, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="logvar_net")
+
+        if self.mode == "odecgru" and self.head_type == "dynamic":
+            # Intended odecgru semantics: backward ODE-ConvGRU infers z0,
+            # a Neural ODE rolls the dynamic latent over the horizon.
+            z0_enc = ODEConvGRUEncoder(
+                ch=c, out_ch=self.out_ch, ode_n_units=self.ode_n_units,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="ode_z0")
+            ts_in = (timesteps if timesteps is not None
+                     else jnp.arange(t, dtype=jnp.float32) / t)
+            mu0, _std0, _ = z0_enc(xs, ts_in)
+            ode_func = ConvNet(out_ch=self.out_ch, n_layers=3,
+                               n_units=self.ode_n_units, activation="relu",
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="ode_func")
+            _ = ode_func(mu0)  # prime params outside lax control flow
+            ts_out = jnp.arange(out_seq, dtype=jnp.float32) / out_seq
+            ys, _stats = odeint_aux(lambda tt, y: ode_func(y), mu0, ts_out,
+                                    method=self.ode_method, rtol=self.rtol,
+                                    atol=self.atol,
+                                    max_steps=self.ode_max_steps)
+            hiddens = jnp.moveaxis(ys, 0, 1)       # (B, T_out, h, w, C)
+            flat = hiddens.reshape(b * out_seq, h, w, -1)
+            mean = mean_net(flat).reshape(b, out_seq, h, w, -1)
+            logvar = logvar_net(flat).reshape(b, out_seq, h, w, -1)
+            return mean, logvar
+
+        cell = ConvGRUCell(hidden_dim=self.out_ch, kernel_size=5,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="cgru_cell")
+        h0 = jnp.zeros((b, h, w, self.out_ch), self.dtype)
+        hiddens, hidden = convgru_scan(cell, h0, xs)
+
+        if self.head_type == "static":
+            return mean_net(hidden), logvar_net(hidden)
+
+        if self.head_type == "dynamic":
+            dyn_cell = ConvGRUCell(hidden_dim=self.out_ch, kernel_size=5,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="dynamic_cell")
+            hiddens, _ = convgru_freerun(dyn_cell, hidden, out_seq)
+        # dynamic/prior: per-step heads over the hidden sequence.
+        t_out = hiddens.shape[1]
+        flat = hiddens.reshape(b * t_out, h, w, -1)
+        mean = mean_net(flat).reshape(b, t_out, h, w, -1)
+        logvar = logvar_net(flat).reshape(b, t_out, h, w, -1)
+        return mean, logvar
+
+
+class FrameDecoder(nn.Module):
+    encoder_type: str = "default"
+    final_dim: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        conv = lambda feats, k, name: nn.Conv(
+            feats, (k, k), padding=(k - 1) // 2, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+
+        def up2(z):
+            b, h, w, c = z.shape
+            return jax.image.resize(z, (b, 2 * h, 2 * w, c), "nearest")
+
+        if self.encoder_type == "default":
+            # 1×1 → 4×4 transposed conv, then 4 upsample+conv stages.
+            x = nn.ConvTranspose(512, (4, 4), padding="VALID",
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="deconv_in")(x)
+            x = jax.nn.relu(bn("bn_in")(x))
+            plan = [256, 128, 128, 64]
+            for i, f in enumerate(plan):
+                x = up2(x)
+                x = jax.nn.relu(bn(f"bn_{i}")(conv(f, 3, f"conv_{i}")(x)))
+        elif self.encoder_type in ("odecgru", "cgru"):
+            x = jax.nn.relu(bn("bn_in")(conv(256, 3, "conv_in")(x)))
+            plan = [256, 128, 128, 64]
+            for i, f in enumerate(plan):
+                x = up2(x)
+                x = jax.nn.relu(bn(f"bn_{i}")(conv(f, 3, f"conv_{i}")(x)))
+        elif self.encoder_type == "cgru_sa":
+            x = jax.nn.relu(bn("bn_in")(conv(256, 3, "conv_in")(x)))
+            plan = [256, 128, 64]
+            for i, f in enumerate(plan):
+                x = up2(x)
+                x = jax.nn.relu(bn(f"bn_{i}")(conv(f, 3, f"conv_{i}")(x)))
+        else:
+            raise NotImplementedError(self.encoder_type)
+        return conv(self.final_dim, 1, "conv_out")(x)
+
+
+class DFP(nn.Module):
+    """Dynamic-factor prediction head: z_t → motion-grid logits
+    (sigmoid applied by the loss — once, unlike the reference's double
+    sigmoid)."""
+
+    z_size: int
+    grids: int = 9
+    spatial: bool = False            # True for cgru/cgru_sa latents
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, zt: jnp.ndarray) -> jnp.ndarray:
+        dense = lambda feats, name: nn.Dense(
+            feats, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        if self.spatial:
+            b, t, h, w, c = zt.shape
+            x = zt[:, 1:].reshape(b * (t - 1), h, w, c)
+            conv = lambda feats, name: nn.Conv(
+                feats, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name)
+            x = conv(64, "c0")(x)
+            x = conv(64, "c1")(x)
+            x = conv(64, "c2")(x)
+            x = x.mean(axis=(1, 2))                 # robust to h,w > 8
+            x = dense(32, "l0")(x)
+            x = dense(self.grids, "l1")(x)
+            return x.reshape(b, t - 1, self.grids)
+        # vector latents (B, T, z): drop the first step — labels cover
+        # the T-1 transitions (reference DFP comment, S3VAE_ED.py:319).
+        x = zt[:, 1:]
+        x = dense(self.z_size, "l0")(x)
+        x = dense(self.z_size, "l1")(x)
+        return dense(self.grids, "l2")(x)

@@ -1,0 +1,142 @@
+"""Adversarial (GAN) training for Vid-ODE.
+
+Capability parity with the reference's Vid-ODE GAN loop
+(/root/reference/Vid-ODE/main.py:185-318): Adamax optimizers for both
+generator and discriminators, a per-image PatchGAN and a per-sequence
+discriminator over channel-stacked sliding windows, alternating LSGAN
+D/G updates each iteration, and 0.99/epoch LR decay.
+
+TPU-first: both updates compile into ONE jitted program per step — the
+D pass runs on stop-gradient generator outputs, then the G pass adds the
+adversarial terms to the reconstruction loss; two optimizer states live
+in one GANTrainState (SURVEY §7 hard-part #9).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ode_rl_tpu.nn.discriminators import (
+    PatchDiscriminator, frames_to_images, lsgan_d_loss, lsgan_g_loss,
+    rearrange_seq_extrap, rearrange_seq_interp)
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    gen_model_state: Any
+    disc_params: Any          # {'image': …, 'seq': …}
+    gen_opt_state: Any
+    disc_opt_state: Any
+    gen_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    disc_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def create_gan_state(gen_model, cfg, sample_batch, rng) -> GANTrainState:
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    gen_vars = gen_model.init(
+        {"params": r1, "sample": r2}, sample_batch, train=True,
+        method=gen_model.loss)
+    gen_params = gen_vars["params"]
+    gen_model_state = {k: v for k, v in gen_vars.items() if k != "params"}
+
+    d_img = PatchDiscriminator()
+    d_seq = PatchDiscriminator()
+    target = sample_batch["data_to_predict"]
+    b, t, h, w, c = target.shape
+    disc_params = {
+        "image": d_img.init(r3, jnp.zeros((1, h, w, c)))["params"],
+        "seq": d_seq.init(r4, jnp.zeros((1, h, w, t * c)))["params"],
+    }
+    lr = float(cfg.lr)
+    gen_tx = optax.adamax(lr)
+    disc_tx = optax.adamax(lr)
+    return GANTrainState(
+        step=jnp.asarray(0, jnp.int32),
+        gen_params=gen_params, gen_model_state=gen_model_state,
+        disc_params=disc_params,
+        gen_opt_state=gen_tx.init(gen_params),
+        disc_opt_state=disc_tx.init(disc_params),
+        gen_tx=gen_tx, disc_tx=disc_tx)
+
+
+def make_gan_train_step(gen_model, extrap: bool = True,
+                        lamb_adv: float = 0.003) -> Callable:
+    """(state, batch, rng) → (state, metrics); D update then G update in
+    one XLA program. ``lamb_adv`` is the adversarial weight (the
+    reference's --lamb_adv default 0.003)."""
+    d_img = PatchDiscriminator()
+    d_seq = PatchDiscriminator()
+    rearrange = rearrange_seq_extrap if extrap else rearrange_seq_interp
+
+    def gen_forward(gen_params, state, batch, rng):
+        out = gen_model.apply(
+            {"params": gen_params, **state.gen_model_state}, batch,
+            train=True, method=gen_model.loss,
+            mutable=list(state.gen_model_state.keys()),
+            rngs={"sample": rng})
+        (recon_loss, (metrics, pred)), new_model_state = out
+        return recon_loss, metrics, pred, new_model_state
+
+    def train_step(state: GANTrainState, batch: Dict, rng
+                   ) -> Tuple[GANTrainState, Dict]:
+        real = batch["data_to_predict"].astype(jnp.float32) + 0.5
+        context = batch["observed_data"].astype(jnp.float32) + 0.5
+
+        # ---- D update (generator frozen) -----------------------------
+        _, _, fake_detached, _ = gen_forward(
+            jax.lax.stop_gradient(state.gen_params), state, batch, rng)
+        fake_detached = jax.lax.stop_gradient(fake_detached)
+
+        def d_loss_fn(disc_params):
+            pr_i = d_img.apply({"params": disc_params["image"]},
+                               frames_to_images(real))
+            pf_i = d_img.apply({"params": disc_params["image"]},
+                               frames_to_images(fake_detached))
+            pr_s = d_seq.apply({"params": disc_params["seq"]},
+                               rearrange(real, context))
+            pf_s = d_seq.apply({"params": disc_params["seq"]},
+                               rearrange(fake_detached, context))
+            return lsgan_d_loss(pr_i, pf_i) + lsgan_d_loss(pr_s, pf_s)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_updates, new_d_opt = state.disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params)
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- G update (discriminator frozen) -------------------------
+        def g_loss_fn(gen_params):
+            recon_loss, metrics, fake, new_model_state = gen_forward(
+                gen_params, state, batch, rng)
+            pf_i = d_img.apply({"params": new_disc_params["image"]},
+                               frames_to_images(fake))
+            pf_s = d_seq.apply({"params": new_disc_params["seq"]},
+                               rearrange(fake, context))
+            adv = lsgan_g_loss(pf_i) + lsgan_g_loss(pf_s)
+            total = recon_loss + lamb_adv * adv
+            metrics = dict(metrics)
+            metrics.update(g_adv_loss=adv, recon_total=recon_loss)
+            return total, (metrics, new_model_state)
+
+        (g_loss, (metrics, new_model_state)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.gen_params)
+        g_updates, new_g_opt = state.gen_tx.update(
+            g_grads, state.gen_opt_state, state.gen_params)
+        new_gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        metrics = dict(metrics)
+        metrics["d_loss"] = d_loss
+        metrics["g_loss"] = g_loss
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=new_gen_params, gen_model_state=new_model_state,
+            disc_params=new_disc_params,
+            gen_opt_state=new_g_opt, disc_opt_state=new_d_opt)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -27,7 +27,8 @@ from ode_rl_tpu.data.protocol import make_batch_dict
 from ode_rl_tpu.models import build_model
 from ode_rl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from ode_rl_tpu.train.step import (
-    create_train_state, make_eval_step, make_train_step)
+    create_train_state, make_eval_step, make_fused_train_step,
+    make_train_step)
 
 
 def _needs_flow_labels(cfg) -> bool:
@@ -63,8 +64,18 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     if mesh is not None:
         state = replicate(state, mesh)
 
-    train_step = make_train_step(model)
+    fused = (cfg.get("fused_datagen", True) and cfg.dataset == "mmnist"
+             and cfg.model not in ())
     loader = loaders["train_dataloader"]
+    if fused:
+        # One dispatch per step: generator + step in a single XLA program.
+        from ode_rl_tpu.data.sprites import get_sprite_bank
+        import jax.numpy as jnp
+        bank = jnp.asarray(get_sprite_bank(cfg.get("data_dir")))
+        fused_step = make_fused_train_step(model, cfg, bank, mesh=mesh)
+        loop_key = jax.random.fold_in(rng, 0xDA7A)
+    else:
+        train_step = make_train_step(model)
     n_train_batches = (int(cfg.get("steps_per_epoch", 0))
                        or loaders["n_train_batches"])
     total_steps = n_train_batches * cfg.epochs
@@ -73,42 +84,52 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     start_step = 0
     if ckpt.latest_step() is not None and cfg.get("auto_resume", True):
         restored = ckpt.restore({"params": state.params,
+                                 "model_state": state.model_state,
                                  "opt_state": state.opt_state})
         start_step = restored["step"]
         state = state.replace(
             step=jnp.asarray(start_step, jnp.int32),
             params=restored["state"]["params"],
+            model_state=restored["state"]["model_state"],
             opt_state=restored["state"]["opt_state"])
         print(f"resumed from step {start_step}")
 
     step = start_step
     last_metrics: Dict = {}
+    log_freq = int(cfg.get("loss_log_freq", 50))
     for epoch in range(cfg.epochs):
-        epoch_loss = 0.0
+        epoch_losses = []
         for _ in range(n_train_batches):
             if step >= total_steps:
                 break
-            video = next(loader)
-            batch = make_batch_dict(
-                video, n_in=cfg.train_in_seq,
-                with_flow_labels=_needs_flow_labels(cfg))
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
+            if fused:
+                state, metrics, loop_key = fused_step(state, loop_key)
+            else:
+                video = next(loader)
+                batch = make_batch_dict(
+                    video, n_in=cfg.train_in_seq,
+                    with_flow_labels=_needs_flow_labels(cfg))
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                rng, sub = jax.random.split(rng)
+                state, metrics = train_step(state, batch, sub)
             step += 1
-            if step % cfg.get("loss_log_freq", 50) == 0 or step == 1:
+            # Fetch metrics only at log points — a per-step device_get
+            # would serialize the async dispatch pipeline.
+            if step % log_freq == 0 or step == 1:
                 metrics = jax.device_get(metrics)
                 last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 logger.log(step, last_metrics)
-            epoch_loss += float(metrics["loss"])
+                epoch_losses.append(last_metrics["loss"])
             if step % cfg.get("ckpt_save_freq", 5000) == 0:
                 ckpt.save(step, {"params": state.params,
+                                 "model_state": state.model_state,
                                  "opt_state": state.opt_state},
                           config=cfg.to_dict())
-        logger.log_epoch(epoch, epoch_loss / max(n_train_batches, 1), step,
-                         total_steps)
+        logger.log_epoch(epoch, float(np.mean(epoch_losses)) if epoch_losses
+                         else float("nan"), step, total_steps)
     ckpt.save(max(step, 1), {"params": state.params,
+                             "model_state": state.model_state,
                              "opt_state": state.opt_state},
               config=cfg.to_dict())
     logger.close()
@@ -129,8 +150,10 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                     train_id / "checkpoints")
         ckpt = CheckpointManager(ckpt_dir, tag=cfg.get("ckpt_id", train_id))
         restored = ckpt.restore({"params": state.params,
+                                 "model_state": state.model_state,
                                  "opt_state": state.opt_state})
-        state = state.replace(params=restored["state"]["params"])
+        state = state.replace(params=restored["state"]["params"],
+                              model_state=restored["state"]["model_state"])
 
     eval_step = make_eval_step(model)
     loader = loaders["test_dataloader"]
@@ -141,7 +164,8 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         video = next(loader)
         batch = make_batch_dict(video, n_in=cfg.test_in_seq,
                                 with_flow_labels=_needs_flow_labels(cfg))
-        metrics, _pred = eval_step(state.params, batch)
+        rng, sub = jax.random.split(rng)
+        metrics, _pred = eval_step(state.variables, batch, sub)
         all_metrics.append(jax.device_get(
             {k: v for k, v in metrics.items() if not k.startswith("aux_")}))
 

@@ -10,25 +10,27 @@ metric computation all fused under ``jax.jit``; gradient all-reduce over
 the 'data' mesh axis is inserted by XLA from sharding annotations. The
 reference leaves ``torch.autograd.set_detect_anomaly(True)`` on globally;
 the equivalent here is the opt-in ``debug_nans`` config flag.
+
+State layout: ``params`` is the trainable 'params' collection;
+``model_state`` carries non-trainable collections (BatchNorm running
+stats for the S3VAE-family encoders — the reference's BatchNorm2d
+modules at /root/reference/modules/S3VAE_ED.py:20-43).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
-
-from ode_rl_tpu.train.metrics import per_frame_metrics
 
 
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
+    model_state: Any          # non-trainable collections (batch_stats, …)
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
@@ -37,6 +39,10 @@ class TrainState(struct.PyTreeNode):
         new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+    @property
+    def variables(self) -> Dict:
+        return {"params": self.params, **self.model_state}
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
@@ -58,42 +64,99 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
 
 
 def create_train_state(model, cfg, sample_batch, rng) -> TrainState:
-    params = model.init(rng, sample_batch, train=True, method=model.loss)
+    init_rng, sample_rng, drop_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": init_rng, "sample": sample_rng, "dropout": drop_rng},
+        sample_batch, train=True, method=model.loss)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
+        model_state=model_state,
         opt_state=tx.init(params),
         tx=tx,
     )
 
 
-def make_train_step(model, donate: bool = True) -> Callable:
-    """Returns jitted (state, batch, rng) → (state, metrics)."""
+def _train_step_fn(model) -> Callable:
+    """Raw (unjitted) train step for composition into larger programs."""
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
-        def loss_fn(params):
-            loss, (metrics, _pred) = model.apply(
-                params, batch, train=True, method=model.loss,
-                rngs={"sample": rng} if rng is not None else {},
-            )
-            return loss, metrics
+        mutable = list(state.model_state.keys())
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, **state.model_state}, batch, train=True,
+                method=model.loss, mutable=mutable,
+                rngs=({"sample": rng, "dropout": jax.random.fold_in(rng, 7)}
+                      if rng is not None else {}))
+            (loss, (metrics, _pred)), new_model_state = out
+            return loss, (metrics, new_model_state)
+
+        (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = state.apply_gradients(grads)
+        new_state = state.apply_gradients(grads).replace(
+            model_state=new_model_state)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(model, donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, rng) → (state, metrics)."""
+    return jax.jit(_train_step_fn(model),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_fused_train_step(model, cfg, sprite_bank, mesh=None) -> Callable:
+    """Train step with the Moving MNIST generator fused INTO the jitted
+    program: (state, key) → (state, metrics, next_key).
+
+    One host→device dispatch per step — data generation, key handling,
+    forward, backward, and the update all compile into a single XLA
+    program. This matters doubly here because device dispatches traverse
+    a network tunnel (axon); the reference instead burns host CPU in
+    cv2/DataLoader workers (SURVEY L3).
+    """
+    from ode_rl_tpu.data.mmnist import generate_moving_mnist
+    from ode_rl_tpu.data.protocol import make_batch_dict
+
+    n_in = int(cfg.train_in_seq)
+    n_out = int(cfg.train_out_seq)
+    batch_size = int(cfg.batch_size)
+    num_digits = int(cfg.num_digits)
+    with_flow = cfg.model in ("S3VAE",)
+    base_step = _train_step_fn(model)
+
+    def fused_step(state: TrainState, key) -> Tuple[TrainState, Dict, Any]:
+        key_data, key_model, key_next = jax.random.split(key, 3)
+        video = generate_moving_mnist(
+            key_data, sprite_bank, batch=batch_size,
+            n_frames=n_in + n_out, num_digits=num_digits)
+        if mesh is not None:
+            # Shard the generated batch over the 'data' axis right at the
+            # source so the whole step runs SPMD.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            video = jax.lax.with_sharding_constraint(
+                video, NamedSharding(mesh, P("data")))
+        batch = make_batch_dict(video, n_in=n_in, with_flow_labels=with_flow)
+        new_state, metrics = base_step(state, batch, key_model)
+        return new_state, metrics, key_next
+
+    return jax.jit(fused_step, donate_argnums=(0,))
 
 
 def make_eval_step(model) -> Callable:
-    """Returns jitted (params, batch) → per-horizon metrics + pred."""
+    """Returns jitted (variables, batch, rng) → per-horizon metrics + pred."""
+    from ode_rl_tpu.train.metrics import per_frame_metrics
 
-    def eval_step(params, batch):
-        pred, aux = model.apply(params, batch, train=False,
-                                method=model.predict)
+    def eval_step(variables, batch, rng=None):
+        pred, aux = model.apply(variables, batch, train=False,
+                                method=model.predict,
+                                rngs={"sample": rng} if rng is not None else {})
         target = batch["data_to_predict"].astype(jnp.float32) + 0.5
         # S3VAE-family models reconstruct the full sequence; compare the
         # matching tail (the reference compares against in+out concat).
@@ -101,7 +164,8 @@ def make_eval_step(model) -> Callable:
             obs = batch["observed_data"].astype(jnp.float32) + 0.5
             target = jnp.concatenate([obs, target], axis=1)
         metrics = per_frame_metrics(pred, target)
-        metrics = {**metrics, **{f"aux_{k}": v for k, v in aux.items()}}
+        metrics = {**metrics, **{f"aux_{k}": v for k, v in aux.items()
+                                 if not k.startswith("_")}}
         return metrics, pred
 
     return jax.jit(eval_step)
