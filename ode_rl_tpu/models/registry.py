@@ -126,6 +126,22 @@ def _build_ds2vae(cfg):
     )
 
 
+def _build_dreamer(cfg):
+    from ode_rl_tpu.wm.world_model import DreamerVideoModel
+    return DreamerVideoModel(
+        image_shape=(cfg.resolution, cfg.resolution, cfg.in_channels),
+        cnn_depth=cfg.get("cnn_depth", 32),
+        stoch=cfg.get("dyn_stoch", 30),
+        deter=cfg.get("dyn_deter", 200),
+        hidden=cfg.get("dyn_hidden", 200),
+        discrete=cfg.get("dyn_discrete", 0),
+        kl_balance=float(cfg.get("kl_balance", 0.8)),
+        kl_free=float(cfg.get("kl_free", 1.0)),
+        kl_scale=float(cfg.get("kl_scale", 1.0)),
+        dtype=_compute_dtype(cfg),
+    )
+
+
 def _build_convlstm(cfg):
     from ode_rl_tpu.models.convlstm import ConvLSTMED
     return ConvLSTMED(in_channels=cfg.in_channels, dtype=_compute_dtype(cfg))
@@ -134,6 +150,7 @@ def _build_convlstm(cfg):
 MODEL_REGISTRY: Dict[str, Callable] = {
     "ConvGRU": _build_convgru,
     "ConvLSTM": _build_convlstm,
+    "Dreamer": _build_dreamer,
     "cgrudecODE": _build_convgru,
     "ODEConv": _build_odeconvgru,
     "VidODE": _build_vidode,

@@ -1,0 +1,245 @@
+"""Recurrent State-Space Model (RSSM).
+
+Capability parity with /root/reference/dreamerv2/networks.py:10-189 and
+:376-405: stochastic + deterministic latent state, discrete (one-hot,
+straight-through) or Gaussian latents with the reference's mean/std
+activation menu and min_std, a LayerNorm GRU cell with update-gate bias
+−1, posterior from [deter, embed] (temp_post), ``observe`` /
+``imagine`` rollouts, and balanced KL with free bits (:172-189).
+
+TPU-first: the TF ``static_scan`` unrolls become ``lax.scan`` over the
+time axis with explicit per-step PRNG keys; states are dicts scanned as
+pytrees.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ode_rl_tpu.wm.tools import one_hot_st_sample
+
+State = Dict[str, jnp.ndarray]
+
+
+class NormGRUCell(nn.Module):
+    """GRU with optional LayerNorm on the fused gate preactivations and
+    update-gate bias (reference networks.py:376-405)."""
+
+    size: int
+    norm: bool = True
+    update_bias: float = -1.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, state: jnp.ndarray) -> jnp.ndarray:
+        parts = nn.Dense(3 * self.size, use_bias=self.norm,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="fused")(jnp.concatenate([x, state], -1))
+        if self.norm:
+            parts = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+                parts.astype(jnp.float32)).astype(parts.dtype)
+        reset, cand, update = jnp.split(parts, 3, axis=-1)
+        reset = jax.nn.sigmoid(reset)
+        cand = jnp.tanh(reset * cand)
+        update = jax.nn.sigmoid(update + self.update_bias)
+        return update * cand + (1.0 - update) * state
+
+
+def _act(name):
+    return {"elu": jax.nn.elu, "relu": jax.nn.relu,
+            "silu": jax.nn.silu, "tanh": jnp.tanh}[name]
+
+
+class RSSM(nn.Module):
+    stoch: int = 30
+    deter: int = 200
+    hidden: int = 200
+    layers_input: int = 1
+    layers_output: int = 1
+    rec_depth: int = 1
+    discrete: int = 0          # 0 → Gaussian; else categories per factor
+    act: str = "elu"
+    mean_act: str = "none"
+    std_act: str = "softplus"
+    temp_post: bool = True
+    min_std: float = 0.1
+    cell_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dense = lambda f, name: nn.Dense(
+            f, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        self._in_layers = [dense(self.hidden, f"ini{i}")
+                           for i in range(self.layers_input)]
+        self._img_out_layers = [dense(self.hidden, f"imo{i}")
+                                for i in range(self.layers_output)]
+        self._obs_layers = [dense(self.hidden, f"obi{i}")
+                            for i in range(self.layers_output)]
+        stats_width = (self.stoch * self.discrete if self.discrete
+                       else 2 * self.stoch)
+        self._ims_stat = dense(stats_width, "ims")
+        self._obs_stat = dense(stats_width, "obs")
+        self._cell = NormGRUCell(size=self.deter, norm=self.cell_norm,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="cell")
+
+    # ------------------------------------------------------------------
+    def initial(self, batch: int) -> State:
+        if self.discrete:
+            shape = (batch, self.stoch, self.discrete)
+            return {"logit": jnp.zeros(shape, self.dtype),
+                    "stoch": jnp.zeros(shape, self.dtype),
+                    "deter": jnp.zeros((batch, self.deter), self.dtype)}
+        return {"mean": jnp.zeros((batch, self.stoch), self.dtype),
+                "std": jnp.zeros((batch, self.stoch), self.dtype),
+                "stoch": jnp.zeros((batch, self.stoch), self.dtype),
+                "deter": jnp.zeros((batch, self.deter), self.dtype)}
+
+    def get_feat(self, state: State) -> jnp.ndarray:
+        stoch = state["stoch"]
+        if self.discrete:
+            stoch = stoch.reshape(stoch.shape[:-2]
+                                  + (self.stoch * self.discrete,))
+        return jnp.concatenate([stoch, state["deter"]], -1)
+
+    # ------------------------------------------------------------------
+    def _stats(self, layer, x: jnp.ndarray) -> State:
+        x = layer(x)
+        if self.discrete:
+            logit = x.reshape(x.shape[:-1] + (self.stoch, self.discrete))
+            return {"logit": logit}
+        mean, std = jnp.split(x, 2, -1)
+        mean = {"none": lambda m: m,
+                "tanh5": lambda m: 5.0 * jnp.tanh(m / 5.0)}[self.mean_act](mean)
+        std = {
+            "softplus": jax.nn.softplus,
+            "abs": lambda s: jnp.abs(s + 1.0),
+            "sigmoid": jax.nn.sigmoid,
+            "sigmoid2": lambda s: 2.0 * jax.nn.sigmoid(s / 2.0),
+        }[self.std_act](std)
+        return {"mean": mean, "std": std + self.min_std}
+
+    def _sample(self, stats: State, key, sample: bool = True) -> jnp.ndarray:
+        if self.discrete:
+            if sample:
+                return one_hot_st_sample(key, stats["logit"])
+            idx = jnp.argmax(stats["logit"], -1)
+            return jax.nn.one_hot(idx, self.discrete,
+                                  dtype=stats["logit"].dtype)
+        if sample:
+            noise = jax.random.normal(key, stats["mean"].shape,
+                                      stats["mean"].dtype)
+            return stats["mean"] + stats["std"] * noise
+        return stats["mean"]
+
+    # ------------------------------------------------------------------
+    def img_step(self, prev_state: State, key, sample: bool = True
+                 ) -> State:
+        act = _act(self.act)
+        prev_stoch = prev_state["stoch"]
+        if self.discrete:
+            prev_stoch = prev_stoch.reshape(
+                prev_stoch.shape[:-2] + (self.stoch * self.discrete,))
+        x = prev_stoch
+        for layer in self._in_layers:
+            x = act(layer(x))
+        deter = prev_state["deter"]
+        for _ in range(self.rec_depth):
+            deter = self._cell(x, deter)
+            x = deter
+        for layer in self._img_out_layers:
+            x = act(layer(x))
+        stats = self._stats(self._ims_stat, x)
+        stoch = self._sample(stats, key, sample)
+        return {"stoch": stoch, "deter": deter, **stats}
+
+    def obs_step(self, prev_state: State, embed: jnp.ndarray, key,
+                 sample: bool = True) -> Tuple[State, State]:
+        k1, k2 = jax.random.split(key)
+        prior = self.img_step(prev_state, k1, sample)
+        act = _act(self.act)
+        x = (jnp.concatenate([prior["deter"], embed], -1)
+             if self.temp_post else embed)
+        for layer in self._obs_layers:
+            x = act(layer(x))
+        stats = self._stats(self._obs_stat, x)
+        stoch = self._sample(stats, k2, sample)
+        post = {"stoch": stoch, "deter": prior["deter"], **stats}
+        return post, prior
+
+    # ------------------------------------------------------------------
+    def observe(self, embed: jnp.ndarray, key,
+                state: Optional[State] = None
+                ) -> Tuple[State, State]:
+        """embed: (B, T, E) → (post, prior) with (B, T, …) leaves."""
+        b, t = embed.shape[:2]
+        if state is None:
+            state = self.initial(b)
+        keys = jax.random.split(key, t)
+        embed_t = jnp.moveaxis(embed, 1, 0)
+
+        def body(mod, carry, xs):
+            e_t, k_t = xs
+            post, prior = mod.obs_step(carry, e_t, k_t)
+            return post, (post, prior)
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        _, (post, prior) = scan(self, state, (embed_t, keys))
+        to_bt = lambda v: jnp.moveaxis(v, 0, 1)
+        return (jax.tree_util.tree_map(to_bt, post),
+                jax.tree_util.tree_map(to_bt, prior))
+
+    def imagine(self, n_steps: int, state: State, key) -> State:
+        """Open-loop prior rollout for n_steps from ``state``."""
+        keys = jax.random.split(key, n_steps)
+
+        def body(mod, carry, k_t):
+            prior = mod.img_step(carry, k_t)
+            return prior, prior
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        _, prior = scan(self, state, keys)
+        return jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, 1), prior)
+
+    # ------------------------------------------------------------------
+    def _logprob_and_kl(self, post: State, prior: State):
+        """KL(post ‖ prior) per element, fp32."""
+        if self.discrete:
+            lp = jax.nn.log_softmax(post["logit"].astype(jnp.float32))
+            lq = jax.nn.log_softmax(prior["logit"].astype(jnp.float32))
+            p = jnp.exp(lp)
+            return jnp.sum(p * (lp - lq), axis=(-2, -1))
+        mp, sp = (post["mean"].astype(jnp.float32),
+                  post["std"].astype(jnp.float32))
+        mq, sq = (prior["mean"].astype(jnp.float32),
+                  prior["std"].astype(jnp.float32))
+        kl = (jnp.log(sq / sp) + (sp**2 + (mp - mq) ** 2) / (2 * sq**2)
+              - 0.5)
+        return jnp.sum(kl, -1)
+
+    def kl_loss(self, post: State, prior: State, forward: bool = False,
+                balance: float = 0.8, free: float = 1.0,
+                scale: float = 1.0):
+        """Balanced KL with free bits (reference networks.py:172-189)."""
+        sg = lambda s: jax.tree_util.tree_map(jax.lax.stop_gradient, s)
+        lhs, rhs = (prior, post) if forward else (post, prior)
+        mix = balance if forward else (1.0 - balance)
+        value = self._logprob_and_kl(lhs, rhs)
+        if balance == 0.5:
+            loss = jnp.mean(jnp.maximum(value, free))
+        else:
+            loss_lhs = jnp.maximum(
+                jnp.mean(self._logprob_and_kl(lhs, sg(rhs))), free)
+            loss_rhs = jnp.maximum(
+                jnp.mean(self._logprob_and_kl(sg(lhs), rhs)), free)
+            loss = mix * loss_lhs + (1.0 - mix) * loss_rhs
+        return loss * scale, value
+

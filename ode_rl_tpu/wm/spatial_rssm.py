@@ -1,0 +1,159 @@
+"""Spatial RSSM — the ModelBasedRL_TF_V2 variant.
+
+Capability parity with /root/reference/ModelBasedRL_TF_V2/ (SURVEY §2.7):
+the DreamerV2 fork whose latent state is a spatial feature map instead of
+a vector —
+  * a convolutional GRU recurrence for the deterministic state (the TF
+    ConvGRUCell, networks.py ~:598) — here our NHWC ConvGRUCell;
+  * ``StochasticConvGRUCell``: learned per-pixel Bernoulli update gates
+    (straight-through sampling) with a sparsity penalty on the gate
+    activation (networks.py:598-677, sparsity loss wired at
+    models.py:66-73);
+  * Impala residual CNN encoder option (networks.py:287-359 — our
+    nn.ImpalaCNN);
+  * spatial posterior/prior heads as 1×1/3×3 convs; observe/imagine
+    rollouts mirroring the vector RSSM.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+State = Dict[str, jnp.ndarray]
+
+
+class StochasticConvGRUCell(nn.Module):
+    """ConvGRU whose update gate is a sampled Bernoulli mask (straight
+    through), encouraging sparse state updates; returns (h_next, gate)."""
+
+    hidden_dim: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray, key
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        conv = lambda f, name: nn.Conv(
+            f, (self.kernel_size, self.kernel_size), padding="SAME",
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        combined = jnp.concatenate([x, h], axis=-1)
+        gates = conv(2 * self.hidden_dim, "conv_gates")(combined)
+        z_logit, r_raw = jnp.split(gates, 2, axis=-1)
+        p = jax.nn.sigmoid(z_logit)
+        # Straight-through Bernoulli sample of the update gate.
+        u = jax.random.uniform(key, p.shape, p.dtype)
+        z_hard = (u < p).astype(p.dtype)
+        z = z_hard + p - jax.lax.stop_gradient(p)
+        r = jax.nn.sigmoid(r_raw)
+        cand = jnp.tanh(conv(self.hidden_dim, "conv_cand")(
+            jnp.concatenate([x, r * h], axis=-1)))
+        h_next = (1.0 - z) * h + z * cand
+        return h_next, p   # return gate probs for the sparsity loss
+
+
+class SpatialRSSM(nn.Module):
+    """RSSM over (h, w, c) latent maps with conv dynamics."""
+
+    stoch_ch: int = 16
+    deter_ch: int = 64
+    hidden_ch: int = 64
+    latent_hw: int = 16
+    min_std: float = 0.1
+    stochastic_gates: bool = False   # StochasticConvGRUCell variant
+    sparsity_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        from ode_rl_tpu.nn.convgru import ConvGRUCell
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding="SAME", dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        self._in_conv = conv(self.hidden_ch, 3, "in_conv")
+        if self.stochastic_gates:
+            self._cell = StochasticConvGRUCell(
+                hidden_dim=self.deter_ch, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="cell")
+        else:
+            self._cell = ConvGRUCell(hidden_dim=self.deter_ch,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="cell")
+        self._ims_stat = conv(2 * self.stoch_ch, 3, "ims")
+        self._obs_stat = conv(2 * self.stoch_ch, 3, "obs")
+
+    def initial(self, batch: int) -> State:
+        hw = self.latent_hw
+        z = lambda c: jnp.zeros((batch, hw, hw, c), self.dtype)
+        return {"mean": z(self.stoch_ch), "std": z(self.stoch_ch),
+                "stoch": z(self.stoch_ch), "deter": z(self.deter_ch)}
+
+    def get_feat(self, state: State) -> jnp.ndarray:
+        return jnp.concatenate([state["stoch"], state["deter"]], -1)
+
+    def _stats(self, layer, x) -> State:
+        mean, std_raw = jnp.split(layer(x), 2, axis=-1)
+        return {"mean": mean,
+                "std": jax.nn.softplus(std_raw) + self.min_std}
+
+    def img_step(self, prev: State, key, embed=None) -> Tuple[State, jnp.ndarray]:
+        k1, k2 = jax.random.split(key)
+        x = self._in_conv(prev["stoch"])
+        if self.stochastic_gates:
+            deter, gate_p = self._cell(prev["deter"], x, k1)
+        else:
+            deter = self._cell(prev["deter"], x)
+            gate_p = jnp.zeros((), self.dtype)
+        stats = self._stats(self._ims_stat, deter)
+        noise = jax.random.normal(k2, stats["mean"].shape, self.dtype)
+        stoch = stats["mean"] + stats["std"] * noise
+        return ({"stoch": stoch, "deter": deter, **stats},
+                jnp.mean(gate_p))
+
+    def obs_step(self, prev: State, embed: jnp.ndarray, key
+                 ) -> Tuple[State, State, jnp.ndarray]:
+        k1, k2 = jax.random.split(key)
+        prior, gate_mean = self.img_step(prev, k1)
+        x = jnp.concatenate([prior["deter"], embed], -1)
+        stats = self._stats(self._obs_stat, x)
+        noise = jax.random.normal(k2, stats["mean"].shape, self.dtype)
+        stoch = stats["mean"] + stats["std"] * noise
+        post = {"stoch": stoch, "deter": prior["deter"], **stats}
+        return post, prior, gate_mean
+
+    def observe(self, embed: jnp.ndarray, key,
+                state: Optional[State] = None):
+        """embed: (B, T, h, w, C) → (post, prior, mean gate activation)."""
+        b, t = embed.shape[:2]
+        if state is None:
+            state = self.initial(b)
+        keys = jax.random.split(key, t)
+        embed_t = jnp.moveaxis(embed, 1, 0)
+
+        def body(mod, carry, xs):
+            e_t, k_t = xs
+            post, prior, g = mod.obs_step(carry, e_t, k_t)
+            return post, (post, prior, g)
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        _, (post, prior, gates) = scan(self, state, (embed_t, keys))
+        to_bt = lambda v: jnp.moveaxis(v, 0, 1)
+        return (jax.tree_util.tree_map(to_bt, post),
+                jax.tree_util.tree_map(to_bt, prior),
+                jnp.mean(gates))
+
+    def kl_loss(self, post: State, prior: State, free: float = 1.0):
+        mp = post["mean"].astype(jnp.float32)
+        sp = post["std"].astype(jnp.float32)
+        mq = prior["mean"].astype(jnp.float32)
+        sq = prior["std"].astype(jnp.float32)
+        kl = (jnp.log(sq / sp) + (sp**2 + (mp - mq) ** 2) / (2 * sq**2)
+              - 0.5)
+        kl = jnp.sum(kl, axis=(-3, -2, -1))
+        return jnp.maximum(jnp.mean(kl), free)

@@ -1,0 +1,141 @@
+"""Tests for the Dreamer world-model stack (wm/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ode_rl_tpu.core.config import Config
+from ode_rl_tpu.data import MovingMNIST, make_batch_dict
+from ode_rl_tpu.nn.impala import ImpalaCNN
+from ode_rl_tpu.wm import RSSM, WorldModel, lambda_return, schedule
+from ode_rl_tpu.wm.classifier import (
+    FeatureClassifier, mean_average_precision, top_k_accuracy)
+from ode_rl_tpu.wm.spatial_rssm import SpatialRSSM
+from ode_rl_tpu.wm.world_model import DreamerVideoModel
+
+
+def _embed(b=2, t=5, e=16):
+    return jax.random.normal(jax.random.key(0), (b, t, e))
+
+
+@pytest.mark.parametrize("discrete", [0, 8])
+def test_rssm_observe_shapes(discrete):
+    rssm = RSSM(stoch=6, deter=16, hidden=16, discrete=discrete)
+    embed = _embed()
+    v = rssm.init(jax.random.key(1), embed, jax.random.key(2),
+                  method=rssm.observe)
+    post, prior = rssm.apply(v, embed, jax.random.key(3),
+                             method=rssm.observe)
+    assert post["deter"].shape == (2, 5, 16)
+    if discrete:
+        assert post["logit"].shape == (2, 5, 6, 8)
+        # straight-through samples are one-hot in value
+        s = np.asarray(post["stoch"])
+        np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-5)
+    else:
+        assert post["mean"].shape == (2, 5, 6)
+        assert (np.asarray(post["std"]) > 0).all()
+
+
+def test_rssm_imagine_open_loop():
+    rssm = RSSM(stoch=6, deter=16, hidden=16)
+    embed = _embed()
+    v = rssm.init(jax.random.key(1), embed, jax.random.key(2),
+                  method=rssm.observe)
+    post, _ = rssm.apply(v, embed, jax.random.key(3), method=rssm.observe)
+    init = jax.tree_util.tree_map(lambda x: x[:, -1], post)
+    prior = rssm.apply(v, 7, init, jax.random.key(4), method=rssm.imagine)
+    assert prior["deter"].shape == (2, 7, 16)
+
+
+def test_rssm_kl_balanced_and_free_bits():
+    rssm = RSSM(stoch=6, deter=16, hidden=16)
+    embed = _embed()
+    v = rssm.init(jax.random.key(1), embed, jax.random.key(2),
+                  method=rssm.observe)
+    post, prior = rssm.apply(v, embed, jax.random.key(3),
+                             method=rssm.observe)
+    loss, value = rssm.apply(v, post, prior, method=rssm.kl_loss)
+    assert np.isfinite(float(loss))
+    # free bits floor: with huge free, the loss equals free
+    loss_free, _ = rssm.apply(v, post, prior, False, 0.8, 1e6, 1.0,
+                              method=rssm.kl_loss)
+    assert abs(float(loss_free) - 1e6) < 1.0
+    # identical dists → KL value ~0
+    loss0, value0 = rssm.apply(v, post, post, method=rssm.kl_loss)
+    np.testing.assert_allclose(np.asarray(value0), 0.0, atol=1e-4)
+
+
+def test_world_model_trains():
+    loader = iter(MovingMNIST(batch_size=2, n_frames_input=6,
+                              n_frames_output=0))
+    batch = {"image": next(loader)}
+    wm = WorldModel(stoch=8, deter=32, hidden=32, cnn_depth=8)
+    v = wm.init({"params": jax.random.key(0), "sample": jax.random.key(1)},
+                batch, method=wm.loss)
+    loss, (m, pred) = wm.apply(v, batch, method=wm.loss,
+                               rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(loss))
+    assert pred.shape == batch["image"].shape
+    assert "kl_loss" in m and "image_loss" in m
+
+
+def test_dreamer_adapter_standard_api():
+    """Dreamer must train through the framework's generic train step."""
+    from ode_rl_tpu.train.step import create_train_state, make_train_step
+    loader = iter(MovingMNIST(batch_size=2, n_frames_input=4,
+                              n_frames_output=3))
+    batch = make_batch_dict(next(loader), n_in=4)
+    model = DreamerVideoModel(stoch=8, deter=32, hidden=32, cnn_depth=8)
+    state = create_train_state(model, Config({"lr": 3e-4, "clip": -1}),
+                               batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+    losses = []
+    for i in range(3):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    pred, _ = model.apply(state.variables, batch, method=model.predict,
+                          rngs={"sample": jax.random.key(9)})
+    assert pred.shape == (2, 3, 64, 64, 1)
+
+
+def test_spatial_rssm_stochastic_gates():
+    m = SpatialRSSM(stoch_ch=4, deter_ch=8, hidden_ch=8, latent_hw=8,
+                    stochastic_gates=True)
+    embed = jax.random.normal(jax.random.key(0), (2, 4, 8, 8, 8))
+    v = m.init(jax.random.key(1), embed, jax.random.key(2),
+               method=m.observe)
+    post, prior, gate = m.apply(v, embed, jax.random.key(3),
+                                method=m.observe)
+    assert post["stoch"].shape == (2, 4, 8, 8, 4)
+    assert 0.0 < float(gate) < 1.0   # Bernoulli gate activity
+
+
+def test_impala_cnn():
+    enc = ImpalaCNN(out_features=32)
+    x = jax.random.normal(jax.random.key(0), (2, 64, 64, 1))
+    p = enc.init(jax.random.key(1), x)
+    assert enc.apply(p, x).shape == (2, 32)
+
+
+def test_classifier_metrics():
+    labels = jnp.eye(4)
+    perfect = labels * 10.0 - 5.0
+    assert float(mean_average_precision(perfect, labels)) == 1.0
+    assert float(top_k_accuracy(perfect, labels, 1)) == 1.0
+    inverted = -perfect
+    assert float(top_k_accuracy(inverted, labels, 1)) == 0.0
+
+
+def test_schedules_and_lambda_return():
+    assert float(schedule("linear(1,0,10)", 5)) == 0.5
+    assert float(schedule(0.3, 100)) == pytest.approx(0.3)
+    # λ=1 reduces to discounted Monte-Carlo return
+    reward = jnp.ones((5, 1))
+    value = jnp.zeros((5, 1))
+    pcont = jnp.full((5, 1), 0.9)
+    ret = lambda_return(reward, value, pcont, jnp.zeros((1,)), 1.0)
+    expected = sum(0.9**i for i in range(5))
+    assert abs(float(ret[0, 0]) - expected) < 1e-4
