@@ -137,9 +137,43 @@ class MovingMNIST:
         )
 
 
+class _VideoOnly:
+    """Adapter dropping labels from a labeled video stream."""
+
+    def __init__(self, inner):
+        self._inner = iter(inner)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        out = next(self._inner)
+        return out[0] if isinstance(out, tuple) else out
+
+
 def parse_datasets(cfg) -> dict:
     """Build train/test loader objects (same contract as the reference's
     ``parse_datasets`` → dict with loaders and batch counts)."""
+    if cfg.dataset == "sprites":
+        from ode_rl_tpu.sprite.data import SpritesLoader
+        if cfg.get("phase", "train") == "train":
+            n_frames = int(cfg.train_in_seq) + int(cfg.train_out_seq)
+        else:
+            n_frames = int(cfg.test_in_seq) + int(cfg.test_out_seq)
+        mk = lambda seed: _VideoOnly(SpritesLoader(
+            batch_size=cfg.batch_size, n_frames=n_frames,
+            data_dir=cfg.get("data_dir"), seed=seed))
+        total = int(cfg.get("data_points", 10000))
+        train_n = int(cfg.get("train_test_split", 0.8) * total)
+        return {
+            "train_dataloader": mk(cfg.get("seed", 0)),
+            "test_dataloader": mk(cfg.get("seed", 0) + 99),
+            "n_train_batches": max(train_n // cfg.batch_size, 1),
+            "n_test_batches": max((total - train_n) // cfg.batch_size, 1),
+        }
+    if cfg.dataset != "mmnist":
+        raise NotImplementedError(
+            f"There is no dataset named {cfg.dataset}")
     total_instances = int(cfg.get("data_points", 10000))
     train_instances = int(cfg.get("train_test_split", 0.8) * total_instances)
     test_instances = total_instances - train_instances

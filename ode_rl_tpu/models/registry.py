@@ -126,6 +126,18 @@ def _build_ds2vae(cfg):
     )
 
 
+def _build_dsvae(cfg):
+    from ode_rl_tpu.sprite.dsvae import DisentangledVAE
+    return DisentangledVAE(
+        f_dim=cfg.get("f_dim", 256),
+        z_dim=cfg.get("z_dim", 32),
+        g_dim=cfg.get("g_dim", 128),
+        channels=cfg.in_channels,
+        hidden_dim=cfg.get("rnn_size", 256),
+        dtype=_compute_dtype(cfg),
+    )
+
+
 def _build_dreamer(cfg):
     from ode_rl_tpu.wm.world_model import DreamerVideoModel
     return DreamerVideoModel(
@@ -151,6 +163,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "ConvGRU": _build_convgru,
     "ConvLSTM": _build_convlstm,
     "Dreamer": _build_dreamer,
+    "DSVAE": _build_dsvae,
     "cgrudecODE": _build_convgru,
     "ODEConv": _build_odeconvgru,
     "VidODE": _build_vidode,

@@ -160,12 +160,14 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     batches = int(cfg.get("eval_batches", 0)) or loaders["n_test_batches"]
 
     all_metrics = []
+    last_pred = last_batch = None
     for it in range(batches):
         video = next(loader)
         batch = make_batch_dict(video, n_in=cfg.test_in_seq,
                                 with_flow_labels=_needs_flow_labels(cfg))
         rng, sub = jax.random.split(rng)
-        metrics, _pred = eval_step(state.variables, batch, sub)
+        metrics, pred = eval_step(state.variables, batch, sub)
+        last_pred, last_batch = pred, batch
         all_metrics.append(jax.device_get(
             {k: v for k, v in metrics.items() if not k.startswith("aux_")}))
 
@@ -179,5 +181,20 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     (logdir / "per_horizon.json").parent.mkdir(parents=True, exist_ok=True)
     import json
     (logdir / "per_horizon.json").write_text(json.dumps(per_horizon))
+
+    # Visual diagnostics: metric-vs-horizon plot + pred/GT filmstrip
+    # (the reference's visual-oracle layer, SURVEY §4/§5.5).
+    from ode_rl_tpu.train.visualize import (
+        plot_metrics_vs_horizon, save_filmstrip)
+    plot_metrics_vs_horizon(logdir / "metrics_vs_horizon.png", per_horizon,
+                            n_in=cfg.test_in_seq)
+    gt = np.asarray(last_batch["data_to_predict"][0]) + 0.5
+    pr = np.asarray(last_pred[0])
+    if pr.shape[0] != gt.shape[0]:      # S3VAE-family full-seq recon
+        full = np.concatenate(
+            [np.asarray(last_batch["observed_data"][0]) + 0.5, gt], axis=0)
+        gt = full
+    save_filmstrip(logdir / "pred_gt.png", [gt, pr],
+                   labels=["ground truth", "prediction"])
     logger.close()
     return {**final, "per_horizon": per_horizon}
