@@ -42,6 +42,7 @@ class ODEConvGRUModel(nn.Module):
     rtol: float = 1e-4
     atol: float = 1e-5
     ode_max_steps: int = 128
+    ode_remat: bool = True   # checkpointed solver backward (memory↔flops)
     mem: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -110,7 +111,8 @@ class ODEConvGRUModel(nn.Module):
         else:
             ys, stats = odeint_aux(f, z0, tp_to_predict, method=self.method,
                                    rtol=self.rtol, atol=self.atol,
-                                   max_steps=self.ode_max_steps)
+                                   max_steps=self.ode_max_steps,
+                                   remat=self.ode_remat)
             sol_y = jnp.moveaxis(ys, 0, 1)       # time-first → batch-first
             stats_metrics = {
                 "nfe": stats.nfe, "ode_accepted": stats.naccept,

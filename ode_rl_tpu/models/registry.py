@@ -41,6 +41,7 @@ def _build_odeconvgru(cfg):
         rtol=float(cfg.get("odeint_rtol", 1e-4)),
         atol=float(cfg.get("odeint_atol", 1e-5)),
         ode_max_steps=int(cfg.get("ode_max_steps", 128)),
+        ode_remat=cfg.get("ode_remat", True),
         mem=cfg.get("mem", False),
         dtype=_compute_dtype(cfg),
     )

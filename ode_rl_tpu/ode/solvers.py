@@ -167,15 +167,13 @@ def _dopri5(func, y0, ts, rtol, atol, max_steps, first_step, remat):
     ys0 = jax.tree_util.tree_map(
         lambda y: jnp.zeros((n_out,) + y.shape, y.dtype).at[0].set(y), y0)
 
-    def body(carry, _):
+    def attempt(carry):
         t, y, f, dt, ys, nfe, nacc, nrej = carry
-        active = t < t_end - 1e-12
-
         dt_used = jnp.minimum(dt, t_end - t)
         dt_used = jnp.maximum(dt_used, 1e-12)
         y1, f7, err, y_mid = _dopri5_step(func, t, y, f, dt_used)
         ratio = _error_ratio(err, y, y1, rtol, atol)
-        accept = (ratio <= 1.0) & active
+        accept = ratio <= 1.0
 
         # Dense-output fill for requested times inside the accepted span.
         t_new = t + dt_used
@@ -200,17 +198,27 @@ def _dopri5(func, y0, ts, rtol, atol, max_steps, first_step, remat):
             jnp.clip(_SAFETY * ratio ** (-1.0 / _ORDER), _DFACTOR, _IFACTOR),
         )
         factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
-        dt_next = jnp.where(active, dt_used * factor, dt)
+        dt_next = dt_used * factor
 
         t = jnp.where(accept, t_new, t)
         y = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), y, y1)
         f = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), f, f7)
-        nfe = nfe + jnp.where(active, 6, 0).astype(jnp.int32)
+        nfe = nfe + jnp.asarray(6, jnp.int32)
         nacc = nacc + accept.astype(jnp.int32)
-        nrej = nrej + (active & ~accept).astype(jnp.int32)
-        return (t, y, f, dt_next, ys, nfe, nacc, nrej), None
+        nrej = nrej + (~accept).astype(jnp.int32)
+        return (t, y, f, dt_next, ys, nfe, nacc, nrej)
+
+    def body(carry, _):
+        # The scan has a static trip count (max_steps); once the solve
+        # reaches t_end the predicate is a SCALAR, so lax.cond actually
+        # skips the six dynamics evaluations instead of masking them —
+        # converged iterations cost ~nothing (batch-wide acceptance keeps
+        # the predicate scalar by construction).
+        active = carry[0] < t_end - 1e-12
+        carry = jax.lax.cond(active, attempt, lambda c: c, carry)
+        return carry, None
 
     if remat:
         body = jax.checkpoint(body)
