@@ -177,6 +177,28 @@ def parse_datasets(cfg) -> dict:
     total_instances = int(cfg.get("data_points", 10000))
     train_instances = int(cfg.get("train_test_split", 0.8) * total_instances)
     test_instances = total_instances - train_instances
+
+    # Frozen mode (reference dataloader.py:105-199): pre-rendered videos
+    # from disk when available (scripts/make_frozen_mmnist.py); otherwise
+    # on-the-fly on-device generation.
+    import pathlib
+    frozen_root = pathlib.Path(str(cfg.get("data_dir", "")))
+    if (cfg.get("frozen", False) and (frozen_root / "meta.json").exists()):
+        from ode_rl_tpu.data.frozen import FrozenMovingMNIST
+        mk = lambda train: iter(FrozenMovingMNIST(
+            frozen_root, batch_size=cfg.batch_size,
+            n_frames_input=cfg.train_in_seq if train else cfg.test_in_seq,
+            n_frames_output=(cfg.train_out_seq if train
+                             else cfg.test_out_seq),
+            is_train=train, seed=cfg.get("seed", 0)))
+        return {
+            "train_dataloader": mk(True),
+            "test_dataloader": mk(False),
+            "n_train_batches": max(train_instances // cfg.batch_size, 1),
+            "n_test_batches": max(test_instances // cfg.batch_size, 1),
+            "frozen": True,
+        }
+
     train_loader = MovingMNIST(
         batch_size=cfg.batch_size,
         n_frames_input=cfg.train_in_seq,

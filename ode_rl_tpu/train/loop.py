@@ -65,7 +65,7 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         state = replicate(state, mesh)
 
     fused = (cfg.get("fused_datagen", True) and cfg.dataset == "mmnist"
-             and cfg.model not in ())
+             and not loaders.get("frozen", False))
     loader = loaders["train_dataloader"]
     if fused:
         # One dispatch per step: generator + step in a single XLA program.
@@ -75,7 +75,8 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         fused_step = make_fused_train_step(model, cfg, bank, mesh=mesh)
         loop_key = jax.random.fold_in(rng, 0xDA7A)
     else:
-        train_step = make_train_step(model)
+        train_step = make_train_step(
+            model, nan_guard=cfg.get("nan_guard", False))
     n_train_batches = (int(cfg.get("steps_per_epoch", 0))
                        or loaders["n_train_batches"])
     total_steps = n_train_batches * cfg.epochs

@@ -80,7 +80,7 @@ def create_train_state(model, cfg, sample_batch, rng) -> TrainState:
     )
 
 
-def _train_step_fn(model) -> Callable:
+def _train_step_fn(model, nan_guard: bool = False) -> Callable:
     """Raw (unjitted) train step for composition into larger programs."""
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
@@ -100,14 +100,23 @@ def _train_step_fn(model) -> Callable:
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads).replace(
             model_state=new_model_state)
+        if nan_guard:
+            # Skip non-finite updates instead of poisoning the params
+            # (SURVEY §5.3 elastic-recovery guard).
+            from ode_rl_tpu.core.debug import nan_guard_update
+            guarded, skipped = nan_guard_update(
+                state.params, new_state.params, grads)
+            new_state = new_state.replace(params=guarded)
+            metrics["nan_skipped"] = skipped
         return new_state, metrics
 
     return train_step
 
 
-def make_train_step(model, donate: bool = True) -> Callable:
+def make_train_step(model, donate: bool = True,
+                    nan_guard: bool = False) -> Callable:
     """Returns jitted (state, batch, rng) → (state, metrics)."""
-    return jax.jit(_train_step_fn(model),
+    return jax.jit(_train_step_fn(model, nan_guard=nan_guard),
                    donate_argnums=(0,) if donate else ())
 
 
@@ -129,7 +138,7 @@ def make_fused_train_step(model, cfg, sprite_bank, mesh=None) -> Callable:
     batch_size = int(cfg.batch_size)
     num_digits = int(cfg.num_digits)
     with_flow = cfg.model in ("S3VAE",)
-    base_step = _train_step_fn(model)
+    base_step = _train_step_fn(model, nan_guard=cfg.get("nan_guard", False))
 
     def fused_step(state: TrainState, key) -> Tuple[TrainState, Dict, Any]:
         key_data, key_model, key_next = jax.random.split(key, 3)
