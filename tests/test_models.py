@@ -93,7 +93,7 @@ def test_eval_step_per_horizon():
     batch = tiny_batch()
     state = create_train_state(model, CFG, batch, jax.random.key(0))
     ev = make_eval_step(model)
-    metrics, pred = ev(state.params, batch)
+    metrics, pred = ev(state.variables, batch)
     assert metrics["mse"].shape == (3,)
     assert pred.shape == (2, 3, 64, 64, 1)
 
