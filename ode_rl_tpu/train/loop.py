@@ -51,7 +51,61 @@ def setup(cfg, seed: Optional[int] = None):
     return model, loaders, state, rng
 
 
+def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
+    """Adversarial VidODE training (the Vid-ODE sub-repo's GAN loop,
+    reference Vid-ODE/main.py:185-318): Adamax G+D, LSGAN, alternating
+    updates compiled into one step; enabled with ``--gan True``."""
+    from ode_rl_tpu.train.gan import create_gan_state, make_gan_train_step
+
+    run_id = resolve_run_id(cfg)
+    logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
+    logger = MetricLogger(logdir, quiet=cfg.get("quiet", False))
+    ckpt = CheckpointManager(logdir / "checkpoints",
+                             tag=cfg.get("ckpt_id", run_id))
+
+    loaders = parse_datasets(cfg)
+    model = build_model(cfg)
+    rng = jax.random.key(cfg.get("seed", 0))
+    loader = loaders["train_dataloader"]
+    sample = make_batch_dict(next(loader), n_in=cfg.train_in_seq)
+    state = create_gan_state(model, cfg, sample, rng)
+    step_fn = make_gan_train_step(
+        model, extrap=cfg.get("extrapolate", True) or True,
+        lamb_adv=float(cfg.get("lamb_adv", 0.003)))
+
+    n_batches = (int(cfg.get("steps_per_epoch", 0))
+                 or loaders["n_train_batches"])
+    total = n_batches * cfg.epochs
+    step = 0
+    log_freq = int(cfg.get("loss_log_freq", 50))
+    last: Dict = {}
+    for epoch in range(cfg.epochs):
+        for _ in range(n_batches):
+            if step >= total:
+                break
+            batch = make_batch_dict(next(loader), n_in=cfg.train_in_seq)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            step += 1
+            if step % log_freq == 0 or step == 1:
+                last = {k: float(np.asarray(v))
+                        for k, v in jax.device_get(metrics).items()
+                        if not k.startswith("_")}
+                logger.log(step, last)
+            if step % cfg.get("ckpt_save_freq", 5000) == 0:
+                ckpt.save(step, {"gen_params": state.gen_params,
+                                 "disc_params": state.disc_params},
+                          config=cfg.to_dict())
+    ckpt.save(max(step, 1), {"gen_params": state.gen_params,
+                             "disc_params": state.disc_params},
+              config=cfg.to_dict())
+    logger.close()
+    return {"final_step": step, **last}
+
+
 def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
+    if cfg.get("gan", False):
+        return train_gan(cfg, logdir)
     run_id = resolve_run_id(cfg)
     logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
     logger = MetricLogger(logdir, use_wandb=not cfg.get("off_wandb", True),
