@@ -139,3 +139,24 @@ def test_schedules_and_lambda_return():
     ret = lambda_return(reward, value, pcont, jnp.zeros((1,)), 1.0)
     expected = sum(0.9**i for i in range(5))
     assert abs(float(ret[0, 0]) - expected) < 1e-4
+
+
+def test_cem_planner_finds_target():
+    """CEM must find action sequences maximizing a known objective:
+    reward = -||a - target||² → plan converges to the target actions."""
+    from ode_rl_tpu.wm.planners import cem_planner, grad_planner
+
+    target = jnp.array([[0.7, -0.3]] * 4)  # (H=4, A=2)
+
+    def rollout_fn(candidates, key):
+        return -jnp.sum((candidates - target[None]) ** 2, axis=(1, 2))
+
+    plan = cem_planner(rollout_fn, jax.random.key(0), horizon=4,
+                       action_dim=2, iterations=8, proposals=500, topk=50)
+    np.testing.assert_allclose(np.asarray(plan), np.asarray(target),
+                               atol=0.05)
+
+    plan_g = grad_planner(rollout_fn, jax.random.key(1), horizon=4,
+                          action_dim=2, iterations=100, lr=0.2)
+    np.testing.assert_allclose(np.asarray(plan_g), np.asarray(target),
+                               atol=0.05)
