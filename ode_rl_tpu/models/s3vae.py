@@ -184,8 +184,17 @@ class S3VAEModel(nn.Module):
             zf_zt = jnp.concatenate([zf_rep, zt], axis=-1)
             dec_in = zf_zt.reshape(b * out_seq, 1, 1, -1)
         else:
+            if use_slots:
+                # cgru_sa: slot vectors broadcast back over the latent
+                # grid and concat channel-wise (the reference's
+                # spatial_broadcast + view, S3VAE.py:271-275).
+                eh, ew = zt.shape[2], zt.shape[3]
+                zf_sp = jnp.broadcast_to(
+                    zf[:, None, None, :], (b, eh, ew, zf.shape[-1]))
+            else:
+                zf_sp = zf
             zf_rep = jnp.broadcast_to(
-                zf[:, None], (b, out_seq) + zf.shape[1:])
+                zf_sp[:, None], (b, out_seq) + zf_sp.shape[1:])
             zf_zt = jnp.concatenate([zf_rep, zt], axis=-1)
             dec_in = zf_zt.reshape((b * out_seq,) + zf_zt.shape[2:])
 
