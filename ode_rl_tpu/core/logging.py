@@ -58,6 +58,20 @@ class MetricLogger:
             )
             print(f"[step {step}] {body}", flush=True)
 
+    def print_exp_details(self, cfg, n_train_batches: int) -> None:
+        """Experiment banner (reference helpers/loggers.py:8-25)."""
+        keys = ("model", "dataset", "phase", "batch_size", "epochs", "lr",
+                "train_in_seq", "train_out_seq", "decode_diff_method",
+                "compute_dtype")
+        body = " | ".join(f"{k}={cfg.get(k)}" for k in keys
+                          if cfg.get(k) is not None)
+        print("=" * 72)
+        print(f"Experiment: {cfg.get('id', '?')}")
+        print(body)
+        print(f"{n_train_batches} batches/epoch × {cfg.get('epochs', '?')} "
+              f"epochs")
+        print("=" * 72, flush=True)
+
     def log_epoch(self, epoch: int, epoch_loss: float, step: int, total_steps: int) -> None:
         elapsed = time.time() - self._t0
         rate = step / max(elapsed, 1e-9)

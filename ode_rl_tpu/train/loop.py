@@ -134,6 +134,7 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     n_train_batches = (int(cfg.get("steps_per_epoch", 0))
                        or loaders["n_train_batches"])
     total_steps = n_train_batches * cfg.epochs
+    logger.print_exp_details(cfg, n_train_batches)
 
     # Auto-resume if a checkpoint exists.
     start_step = 0
