@@ -119,8 +119,17 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         state = replicate(state, mesh)
 
     fused = (cfg.get("fused_datagen", True) and cfg.dataset == "mmnist"
-             and not loaders.get("frozen", False))
+             and not loaders.get("frozen", False)
+             and not cfg.get("vidode_sampling", False))
     loader = loaders["train_dataloader"]
+    if cfg.get("vidode_sampling", False) and cfg.dataset == "mmnist":
+        # need window_size-frame clips for the window samplers
+        from ode_rl_tpu.data.mmnist import MovingMNIST
+        win = int(cfg.get("window_size", cfg.train_seq))
+        loader = iter(MovingMNIST(
+            batch_size=cfg.batch_size, n_frames_input=win,
+            n_frames_output=0, num_digits=cfg.num_digits,
+            data_dir=cfg.get("data_dir"), seed=cfg.get("seed", 0)))
     if fused:
         # One dispatch per step: generator + step in a single XLA program.
         from ode_rl_tpu.data.sprites import get_sprite_bank
@@ -162,9 +171,26 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                 state, metrics, loop_key = fused_step(state, loop_key)
             else:
                 video = next(loader)
-                batch = make_batch_dict(
-                    video, n_in=cfg.train_in_seq,
-                    with_flow_labels=_needs_flow_labels(cfg))
+                if cfg.get("vidode_sampling", False):
+                    # Vid-ODE window sampling: regular/irregular ×
+                    # interp/extrap with observation masks
+                    # (data/samplers.py; reference dataloader.py:31-158).
+                    from ode_rl_tpu.data.samplers import sample, split_batch
+                    rng, sk = jax.random.split(rng)
+                    frames, mask = sample(
+                        sk, video,
+                        sample_size=cfg.train_in_seq + cfg.train_out_seq,
+                        window_size=int(cfg.get("window_size",
+                                                cfg.train_seq)),
+                        irregular=cfg.get("irregular", False),
+                        extrap=cfg.get("extrapolate", True),
+                        train=True)
+                    batch = split_batch(frames, mask,
+                                        extrap=cfg.get("extrapolate", True))
+                else:
+                    batch = make_batch_dict(
+                        video, n_in=cfg.train_in_seq,
+                        with_flow_labels=_needs_flow_labels(cfg))
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 rng, sub = jax.random.split(rng)
