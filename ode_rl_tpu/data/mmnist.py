@@ -21,7 +21,6 @@ from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ode_rl_tpu.data.sprites import DIGIT_SIZE, get_sprite_bank
 

@@ -19,7 +19,6 @@ The mask gates the ConvGRU encoder steps (VidODE supports this path).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -14,7 +14,6 @@ semantics.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

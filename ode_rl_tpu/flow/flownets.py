@@ -24,7 +24,7 @@ warping/correlation are the named ops with XLA/Pallas backends.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ TPU-first: every stage's time loop is a lax.scan; cells are NHWC.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

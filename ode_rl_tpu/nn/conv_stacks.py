@@ -17,7 +17,7 @@ All NHWC, dtype-polymorphic (bf16 compute / fp32 params on TPU).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import flax.linen as nn
 import jax

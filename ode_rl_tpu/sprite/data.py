@@ -14,7 +14,6 @@ content is its attributes and whose motion is its action).
 from __future__ import annotations
 
 import functools
-import os
 import pathlib
 from typing import Optional, Tuple
 

@@ -23,7 +23,7 @@ Capability parity with
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ and score with a reward head). Fully jittable; iterations are
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

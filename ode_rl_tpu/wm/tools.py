@@ -11,8 +11,6 @@ backing OneHotDist. ``static_scan`` (:643-657) needs no counterpart —
 from __future__ import annotations
 
 import re
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

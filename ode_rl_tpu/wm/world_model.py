@@ -15,7 +15,7 @@ jitted-step shape as every other model in this framework.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
