@@ -51,10 +51,17 @@ def _trajectories(key: jax.Array, n_frames: int) -> jnp.ndarray:
     return (pos * _CANVAS).astype(jnp.int32)  # truncation, like astype(int32)
 
 
-def _place(sprite: jnp.ndarray, top: jnp.ndarray, left: jnp.ndarray) -> jnp.ndarray:
-    """Place a 28×28 sprite on an empty 64×64 canvas at (top, left)."""
-    canvas = jnp.zeros((IMAGE_SIZE, IMAGE_SIZE), dtype=sprite.dtype)
-    return jax.lax.dynamic_update_slice(canvas, sprite, (top, left))
+def _place_all(sprite: jnp.ndarray, tops: jnp.ndarray,
+               lefts: jnp.ndarray) -> jnp.ndarray:
+    """Place a 28×28 sprite at per-frame integer positions (vmapped
+    dynamic_update_slice; profiled on par with one-hot-matmul placement
+    and far faster than TPU multi-dim gathers)."""
+
+    def place(top, left):
+        canvas = jnp.zeros((IMAGE_SIZE, IMAGE_SIZE), dtype=sprite.dtype)
+        return jax.lax.dynamic_update_slice(canvas, sprite, (top, left))
+
+    return jax.vmap(place)(tops, lefts)
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "n_frames", "num_digits"))
@@ -81,9 +88,7 @@ def generate_moving_mnist(
             pos = _trajectories(kt, n_frames)  # (T, 2)
             idx = jax.random.randint(ks, (), 0, n_bank)
             sprite = sprite_bank[idx]
-            placed = jax.vmap(_place, in_axes=(None, 0, 0))(
-                sprite, pos[:, 0], pos[:, 1]
-            )  # (T, 64, 64)
+            placed = _place_all(sprite, pos[:, 0], pos[:, 1])  # (T, 64, 64)
             frames = jnp.maximum(frames, placed)
         return frames
 

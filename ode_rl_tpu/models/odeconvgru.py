@@ -43,6 +43,10 @@ class ODEConvGRUModel(nn.Module):
     atol: float = 1e-5
     ode_max_steps: int = 128
     ode_remat: bool = True   # checkpointed solver backward (memory↔flops)
+    # 'scan' = bounded differentiable scan (torchdiffeq-shaped AD);
+    # 'fast' = while_loop + O(NFE) checkpointed adjoint (ode/fast.py) —
+    # backward cost follows the actual step count, not max_steps.
+    ode_solver: str = "scan"
     mem: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -109,10 +113,19 @@ class ODEConvGRUModel(nn.Module):
             sol_y = jnp.stack(ys_list, axis=1)  # (B, T, eh, ew, C)
             stats_metrics = {}
         else:
-            ys, stats = odeint_aux(f, z0, tp_to_predict, method=self.method,
-                                   rtol=self.rtol, atol=self.atol,
-                                   max_steps=self.ode_max_steps,
-                                   remat=self.ode_remat)
+            if self.ode_solver == "fast" and self.method == "dopri5":
+                from ode_rl_tpu.ode.fast import odeint_fast
+                ode_params = ode_func.variables  # primed above
+                ys, stats = odeint_fast(
+                    lambda t, y, p: ode_func.apply(p, y),
+                    z0, tp_to_predict, ode_params,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=self.ode_max_steps)
+            else:
+                ys, stats = odeint_aux(
+                    f, z0, tp_to_predict, method=self.method,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=self.ode_max_steps, remat=self.ode_remat)
             sol_y = jnp.moveaxis(ys, 0, 1)       # time-first → batch-first
             stats_metrics = {
                 "nfe": stats.nfe, "ode_accepted": stats.naccept,

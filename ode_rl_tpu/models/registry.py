@@ -42,6 +42,7 @@ def _build_odeconvgru(cfg):
         atol=float(cfg.get("odeint_atol", 1e-5)),
         ode_max_steps=int(cfg.get("ode_max_steps", 128)),
         ode_remat=cfg.get("ode_remat", True),
+        ode_solver=cfg.get("ode_solver", "scan"),
         mem=cfg.get("mem", False),
         dtype=_compute_dtype(cfg),
     )

@@ -241,7 +241,11 @@ def _fixed_grid(func, y0, ts, stepper, substeps):
 
         def micro(y, i):
             t = t_a + i * h
-            return stepper(func, t, y, h), None
+            y_new = stepper(func, t, y, h)
+            # keep the carry in the state's compute dtype (h is fp32)
+            y_new = jax.tree_util.tree_map(
+                lambda a, ref: a.astype(ref.dtype), y_new, y)
+            return y_new, None
 
         y, _ = jax.lax.scan(micro, y, jnp.arange(substeps))
         return y, y

@@ -129,3 +129,58 @@ def test_nfe_scales_with_tolerance():
     _, loose = odeint_aux(f, y0, ts, rtol=1e-3, atol=1e-4)
     _, tight = odeint_aux(f, y0, ts, rtol=1e-8, atol=1e-10, max_steps=1024)
     assert int(tight.nfe) > int(loose.nfe)
+
+
+# ------------------------- O(NFE) fast adjoint -----------------------------
+
+def test_fast_adjoint_matches_scan_solver():
+    """The while_loop + custom-VJP solver (ode/fast.py) must match the
+    differentiable-scan solver in both values and gradients."""
+    from ode_rl_tpu.ode.fast import odeint_fast
+
+    func = lambda t, y, p: -p * y + jnp.sin(3.0 * y)
+    ts = jnp.linspace(0.0, 2.0, 9)
+    y0 = jnp.linspace(0.5, 1.5, 8).reshape(2, 4)
+    a = jnp.array(0.8)
+
+    ys_fast, stats = odeint_fast(func, y0, ts, a, rtol=1e-6, atol=1e-8,
+                                 max_steps=512)
+    ys_ref = odeint(lambda t, y: func(t, y, a), y0, ts, rtol=1e-6,
+                    atol=1e-8, max_steps=512)
+    np.testing.assert_allclose(np.asarray(ys_fast), np.asarray(ys_ref),
+                               atol=1e-6)
+    assert bool(stats.converged)
+
+    w = jnp.arange(1.0, 10.0)[:, None, None]
+
+    def loss_fast(y0, p):
+        ys, _ = odeint_fast(func, y0, ts, p, rtol=1e-6, atol=1e-8,
+                            max_steps=512)
+        return jnp.sum(jnp.sin(ys) * w)
+
+    def loss_ref(y0, p):
+        ys = odeint(lambda t, y: func(t, y, p), y0, ts, rtol=1e-6,
+                    atol=1e-8, max_steps=512)
+        return jnp.sum(jnp.sin(ys) * w)
+
+    gf = jax.jit(jax.grad(loss_fast, argnums=(0, 1)))(y0, a)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(y0, a)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(gf[1]), float(gr[1]), rtol=1e-5)
+
+
+def test_fast_adjoint_pytree_params():
+    from ode_rl_tpu.ode.fast import odeint_fast
+
+    func = lambda t, y, p: p["a"] * y + p["b"]
+    params = {"a": jnp.array(-0.5), "b": jnp.array(0.2)}
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    def loss(p):
+        ys, _ = odeint_fast(func, jnp.ones(3), ts, p)
+        return jnp.sum(ys)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(g["a"])) and abs(float(g["a"])) > 0
+    assert np.isfinite(float(g["b"])) and abs(float(g["b"])) > 0
