@@ -63,8 +63,15 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
-    def restore(self, target: Dict[str, Any], step: Optional[int] = None) -> Dict[str, Any]:
+    def restore(self, target: Dict[str, Any], step: Optional[int] = None,
+                allow_missing=("model_state",)) -> Dict[str, Any]:
         """Restore into the structure of ``target`` (a template pytree).
+
+        Structure-tolerant for *additive* evolution: top-level fields named
+        in ``allow_missing`` may be absent from the snapshot (they keep the
+        template's fresh values). Any other structural gap — e.g. params
+        from a different model architecture — raises, because silently
+        training on fresh params while claiming "resumed" corrupts runs.
 
         Returns ``{"step": int, "state": pytree}``; raises if nothing saved.
         """
@@ -73,5 +80,72 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         payload = self._path(step).read_bytes()
-        template = {"step": 0, "state": target}
-        return serialization.from_bytes(template, payload)
+        raw = serialization.msgpack_restore(payload)
+        target_sd = serialization.to_state_dict(target)
+        merged, missing = _merge_state(target_sd, raw["state"], path="")
+        fatal = [p for p in missing
+                 if p.split("/")[1] not in allow_missing]
+        if fatal:
+            raise ValueError(
+                f"checkpoint {self._path(step)} is structurally incompatible"
+                f" with the current model/optimizer — snapshot lacks: "
+                f"{fatal[:8]}{'…' if len(fatal) > 8 else ''}")
+        if missing:
+            print(f"checkpoint {self._path(step).name}: keeping fresh "
+                  f"values for fields absent in snapshot: {missing}")
+        state = serialization.from_state_dict(target, merged)
+        return {"step": int(raw["step"]), "state": state}
+
+    def load_config(self) -> Optional[Dict[str, Any]]:
+        """Return the config snapshot saved alongside the checkpoints
+        (the Vid-ODE options.json resurrection pattern,
+        reference Vid-ODE/tester.py:17-30), or None if absent."""
+        cfg_path = self.directory / f"{self.tag}_config.json"
+        if not cfg_path.exists():
+            return None
+        return json.loads(cfg_path.read_text())
+
+
+def _merge_state(target, snapshot, path=""):
+    """Recursively overlay ``snapshot`` onto ``target`` (both flax state
+    dicts); returns (merged, missing_paths). Keys absent from the snapshot
+    keep the target's value; extra snapshot keys are ignored."""
+    if not isinstance(target, dict) or not isinstance(snapshot, dict):
+        return snapshot, []
+    merged, missing = {}, []
+    for k, v in target.items():
+        if k in snapshot:
+            sub, sub_missing = _merge_state(v, snapshot[k], f"{path}/{k}")
+            merged[k] = sub
+            missing.extend(sub_missing)
+        else:
+            merged[k] = v
+            missing.append(f"{path}/{k}")
+    return merged, missing
+
+
+def find_checkpoint(logdir: os.PathLike, model: str,
+                    ckpt_id: str) -> pathlib.Path:
+    """Locate the checkpoint directory for ``ckpt_id`` by scanning
+    ``<logdir>/<model>/*/checkpoints`` for step-stamped files whose tag is
+    exactly ``ckpt_id``.
+
+    Mirrors the reference's explicit ckpt_id-based loading
+    (/root/reference/helpers/utils.py:229-252) instead of guessing the
+    train-run directory from the test id. Raises FileNotFoundError (loudly,
+    with the searched pattern and any near-misses) when nothing matches.
+    """
+    root = pathlib.Path(logdir) / model
+    hits = []
+    for p in root.glob(f"*/checkpoints/{ckpt_id}_*.ckpt"):
+        m = _CKPT_RE.match(p.name)
+        if m and m.group("tag") == ckpt_id:
+            hits.append(p)
+    if not hits:
+        available = sorted({q.parent for q in root.glob("*/checkpoints/*.ckpt")})
+        raise FileNotFoundError(
+            f"no checkpoint with ckpt_id={ckpt_id!r} under {root}/*/checkpoints"
+            f" — found checkpoint dirs: {[str(a) for a in available] or 'none'}")
+    # Latest step wins across candidate dirs (steps are zero-padded so the
+    # lexicographic max is the numeric max).
+    return max(hits, key=lambda p: p.name).parent

@@ -37,7 +37,21 @@ class GANTrainState(struct.PyTreeNode):
     disc_tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
-def create_gan_state(gen_model, cfg, sample_batch, rng) -> GANTrainState:
+def make_gan_lr_schedule(cfg, steps_per_epoch: int):
+    """0.99-per-epoch exponential LR decay, staircased on epoch boundaries
+    (reference Vid-ODE/main.py:214-215: ``utils.update_learning_rate``
+    every epoch with decay_rate 0.99). Returns an optax schedule."""
+    lr = float(cfg.lr)
+    decay = float(cfg.get("lr_decay", 0.99))
+    if decay >= 1.0 or steps_per_epoch <= 0:
+        return optax.constant_schedule(lr)
+    return optax.exponential_decay(
+        init_value=lr, transition_steps=steps_per_epoch,
+        decay_rate=decay, staircase=True)
+
+
+def create_gan_state(gen_model, cfg, sample_batch, rng,
+                     steps_per_epoch: int = 0) -> GANTrainState:
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     gen_vars = gen_model.init(
         {"params": r1, "sample": r2}, sample_batch, train=True,
@@ -53,9 +67,9 @@ def create_gan_state(gen_model, cfg, sample_batch, rng) -> GANTrainState:
         "image": d_img.init(r3, jnp.zeros((1, h, w, c)))["params"],
         "seq": d_seq.init(r4, jnp.zeros((1, h, w, t * c)))["params"],
     }
-    lr = float(cfg.lr)
-    gen_tx = optax.adamax(lr)
-    disc_tx = optax.adamax(lr)
+    schedule = make_gan_lr_schedule(cfg, steps_per_epoch)
+    gen_tx = optax.adamax(schedule)
+    disc_tx = optax.adamax(schedule)
     return GANTrainState(
         step=jnp.asarray(0, jnp.int32),
         gen_params=gen_params, gen_model_state=gen_model_state,
@@ -66,7 +80,8 @@ def create_gan_state(gen_model, cfg, sample_batch, rng) -> GANTrainState:
 
 
 def make_gan_train_step(gen_model, extrap: bool = True,
-                        lamb_adv: float = 0.003) -> Callable:
+                        lamb_adv: float = 0.003,
+                        lr_schedule=None) -> Callable:
     """(state, batch, rng) → (state, metrics); D update then G update in
     one XLA program. ``lamb_adv`` is the adversarial weight (the
     reference's --lamb_adv default 0.003)."""
@@ -132,6 +147,9 @@ def make_gan_train_step(gen_model, extrap: bool = True,
         metrics = dict(metrics)
         metrics["d_loss"] = d_loss
         metrics["g_loss"] = g_loss
+        if lr_schedule is not None:
+            # Telemetry proving the per-epoch decay reaches the optimizer.
+            metrics["lr"] = lr_schedule(state.step)
         new_state = state.replace(
             step=state.step + 1,
             gen_params=new_gen_params, gen_model_state=new_model_state,

@@ -55,7 +55,8 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     """Adversarial VidODE training (the Vid-ODE sub-repo's GAN loop,
     reference Vid-ODE/main.py:185-318): Adamax G+D, LSGAN, alternating
     updates compiled into one step; enabled with ``--gan True``."""
-    from ode_rl_tpu.train.gan import create_gan_state, make_gan_train_step
+    from ode_rl_tpu.train.gan import (
+        create_gan_state, make_gan_lr_schedule, make_gan_train_step)
 
     run_id = resolve_run_id(cfg)
     logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
@@ -68,16 +69,41 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     rng = jax.random.key(cfg.get("seed", 0))
     loader = loaders["train_dataloader"]
     sample = make_batch_dict(next(loader), n_in=cfg.train_in_seq)
-    state = create_gan_state(model, cfg, sample, rng)
-    step_fn = make_gan_train_step(
-        model, extrap=cfg.get("extrapolate", True) or True,
-        lamb_adv=float(cfg.get("lamb_adv", 0.003)))
-
     n_batches = (int(cfg.get("steps_per_epoch", 0))
                  or loaders["n_train_batches"])
+    schedule = make_gan_lr_schedule(cfg, n_batches)
+    state = create_gan_state(model, cfg, sample, rng,
+                             steps_per_epoch=n_batches)
+    step_fn = make_gan_train_step(
+        model, extrap=cfg.get("extrapolate", True) or True,
+        lamb_adv=float(cfg.get("lamb_adv", 0.003)),
+        lr_schedule=schedule)
+
     total = n_batches * cfg.epochs
     step = 0
     log_freq = int(cfg.get("loss_log_freq", 50))
+    # Periodic in-training evaluation with image dumps (reference tests
+    # every 100 epochs and saves pred/GT sheets, Vid-ODE/main.py:256-290).
+    test_freq = int(cfg.get("gan_test_freq_epochs", 100))
+    eval_step = make_eval_step(model)
+    test_loader = loaders.get("test_dataloader")
+
+    def periodic_eval(epoch: int) -> Dict:
+        from ode_rl_tpu.train.visualize import save_filmstrip
+        video = next(test_loader)
+        tbatch = make_batch_dict(video, n_in=cfg.train_in_seq)
+        m, pred = eval_step({"params": state.gen_params,
+                             **state.gen_model_state}, tbatch,
+                            jax.random.key(epoch))
+        m = jax.device_get({k: v for k, v in m.items()
+                            if not k.startswith("aux_")})
+        out = {f"test_{k}": float(np.asarray(v).mean()) for k, v in m.items()}
+        gt = np.asarray(tbatch["data_to_predict"][0]) + 0.5
+        save_filmstrip(logdir / f"test_epoch{epoch:05d}.png",
+                       [gt, np.asarray(pred[0])],
+                       labels=["ground truth", "prediction"])
+        return out
+
     last: Dict = {}
     for epoch in range(cfg.epochs):
         for _ in range(n_batches):
@@ -96,6 +122,10 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                 ckpt.save(step, {"gen_params": state.gen_params,
                                  "disc_params": state.disc_params},
                           config=cfg.to_dict())
+        if test_loader is not None and (epoch + 1) % test_freq == 0:
+            test_metrics = periodic_eval(epoch + 1)
+            last.update(test_metrics)
+            logger.log(step, test_metrics)
     ckpt.save(max(step, 1), {"gen_params": state.gen_params,
                              "disc_params": state.disc_params},
               config=cfg.to_dict())
@@ -148,16 +178,22 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     # Auto-resume if a checkpoint exists.
     start_step = 0
     if ckpt.latest_step() is not None and cfg.get("auto_resume", True):
-        restored = ckpt.restore({"params": state.params,
-                                 "model_state": state.model_state,
-                                 "opt_state": state.opt_state})
-        start_step = restored["step"]
-        state = state.replace(
-            step=jnp.asarray(start_step, jnp.int32),
-            params=restored["state"]["params"],
-            model_state=restored["state"]["model_state"],
-            opt_state=restored["state"]["opt_state"])
-        print(f"resumed from step {start_step}")
+        try:
+            restored = ckpt.restore({"params": state.params,
+                                     "model_state": state.model_state,
+                                     "opt_state": state.opt_state})
+        except ValueError as e:
+            # Structurally incompatible snapshot (different architecture /
+            # older format): refuse the bogus resume, start fresh.
+            print(f"auto-resume skipped: {e}")
+        else:
+            start_step = restored["step"]
+            state = state.replace(
+                step=jnp.asarray(start_step, jnp.int32),
+                params=restored["state"]["params"],
+                model_state=restored["state"]["model_state"],
+                opt_state=restored["state"]["opt_state"])
+            print(f"resumed from step {start_step}")
 
     step = start_step
     last_metrics: Dict = {}
@@ -218,24 +254,63 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     return {"final_step": step, **last_metrics}
 
 
+# Keys the *test* block keeps when resurrecting a saved train config:
+# everything that defines the evaluation protocol rather than the model.
+_TEST_PROTOCOL_KEYS = frozenset({
+    "id", "phase", "load_model", "ckpt_id", "ckpt_step", "logdir", "rundir",
+    "dataset", "data_dir", "test_seq", "test_in_seq", "test_out_seq",
+    "eval_batches", "batch_size", "quiet", "seed", "off_wandb",
+    "fused_datagen", "use_mesh",
+})
+
+
+def _resurrect_train_config(cfg, saved: Dict):
+    """Rebuild the exact train-time config for model construction, keeping
+    the current block's evaluation-protocol keys (the Vid-ODE options.json
+    pattern, reference Vid-ODE/tester.py:17-30: load saved options, then
+    overwrite the phase/test flags)."""
+    merged = dict(saved)
+    for k, v in cfg.to_dict().items():
+        if k in _TEST_PROTOCOL_KEYS or k not in merged:
+            merged[k] = v
+    from ode_rl_tpu.core.config import Config
+    return Config(merged)
+
+
 def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
+    # Resolve the trained checkpoint FIRST (by explicit ckpt_id, mirroring
+    # reference helpers/utils.py:229-252 — never by string surgery on the
+    # test id) so the saved train config can drive model construction.
+    ckpt = None
+    if cfg.get("load_model", False):
+        from ode_rl_tpu.core.checkpoint import find_checkpoint
+        ckpt_id = cfg.get("ckpt_id")
+        if not ckpt_id:
+            raise ValueError(
+                "phase=test with load_model=True requires an explicit "
+                "ckpt_id (the tag the train run checkpointed under)")
+        ckpt_dir = find_checkpoint(cfg.get("logdir", "logs"), cfg.model,
+                                   ckpt_id)
+        ckpt = CheckpointManager(ckpt_dir, tag=ckpt_id)
+        saved_cfg = ckpt.load_config()
+        if saved_cfg is not None:
+            cfg = _resurrect_train_config(cfg, saved_cfg)
+
     run_id = resolve_run_id(cfg)
     logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
     logger = MetricLogger(logdir, quiet=cfg.get("quiet", False))
 
     model, loaders, state, rng = setup(cfg)
-    # Load trained params: the reference loads by ckpt_id + step
-    # (helpers/utils.py:229-252); we also auto-pick the latest.
-    if cfg.get("load_model", False):
-        train_id = f"{cfg.id.replace('_test', '_train')}_{cfg.train_in_seq}_{cfg.train_out_seq}"
-        ckpt_dir = (pathlib.Path(cfg.get("logdir", "logs")) / cfg.model /
-                    train_id / "checkpoints")
-        ckpt = CheckpointManager(ckpt_dir, tag=cfg.get("ckpt_id", train_id))
+    if ckpt is not None:
+        step = cfg.get("ckpt_step") or None
         restored = ckpt.restore({"params": state.params,
                                  "model_state": state.model_state,
-                                 "opt_state": state.opt_state})
+                                 "opt_state": state.opt_state},
+                                step=int(step) if step else None)
         state = state.replace(params=restored["state"]["params"],
                               model_state=restored["state"]["model_state"])
+        print(f"loaded checkpoint {ckpt.tag} step {restored['step']} "
+              f"from {ckpt.directory}")
 
     eval_step = make_eval_step(model)
     loader = loaders["test_dataloader"]

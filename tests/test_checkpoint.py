@@ -37,3 +37,41 @@ def test_gc_keeps_latest(tmp_path):
 def test_latest_none_when_empty(tmp_path):
     mgr = CheckpointManager(tmp_path, tag="t")
     assert mgr.latest_step() is None
+
+
+def test_find_checkpoint_by_ckpt_id(tmp_path):
+    """Test-time resolution goes by explicit ckpt_id scan, not id-string
+    surgery (reference helpers/utils.py:229-252 semantics)."""
+    from ode_rl_tpu.core.checkpoint import find_checkpoint
+
+    d = tmp_path / "ConvGRU" / "weird_run_name_42" / "checkpoints"
+    mgr = CheckpointManager(d, tag="my_ckpt_id")
+    mgr.save(7, {"w": jnp.ones((2,))}, config={"lr": 1e-3, "model": "ConvGRU"})
+    found = find_checkpoint(tmp_path, "ConvGRU", "my_ckpt_id")
+    assert found == d
+    mgr2 = CheckpointManager(found, tag="my_ckpt_id")
+    assert mgr2.latest_step() == 7
+    assert mgr2.load_config()["model"] == "ConvGRU"
+
+
+def test_find_checkpoint_missing_fails_loudly(tmp_path):
+    from ode_rl_tpu.core.checkpoint import find_checkpoint
+
+    d = tmp_path / "ConvGRU" / "run" / "checkpoints"
+    CheckpointManager(d, tag="other_id").save(1, {"w": jnp.ones((2,))})
+    try:
+        find_checkpoint(tmp_path, "ConvGRU", "no_such_id")
+    except FileNotFoundError as e:
+        assert "no_such_id" in str(e)
+    else:
+        raise AssertionError("expected FileNotFoundError")
+
+
+def test_find_checkpoint_latest_across_dirs(tmp_path):
+    from ode_rl_tpu.core.checkpoint import find_checkpoint
+
+    d1 = tmp_path / "M" / "run_a" / "checkpoints"
+    d2 = tmp_path / "M" / "run_b" / "checkpoints"
+    CheckpointManager(d1, tag="t").save(5, {"w": jnp.ones((2,))})
+    CheckpointManager(d2, tag="t").save(9, {"w": jnp.ones((2,))})
+    assert find_checkpoint(tmp_path, "M", "t") == d2
