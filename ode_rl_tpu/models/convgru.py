@@ -6,6 +6,12 @@ conv downsample ×4 → ConvGRU over the observed frames → a decoder ConvGRU
 free-runs ``n_out`` steps from the final state → transposed-conv upsample
 → sigmoid; MSE loss against the target frames in [0, 1].
 
+``decODE=True`` is the cgrudecODE variant: the decoder recurrence is
+replaced by a Neural-ODE decode of a 1×1-projected latent over
+``tp_to_predict`` (the reference builds ``ConvGRU(decODE=opt.decODE)`` at
+main.py:57-58; its DecODEr draft at models/ConvGRU.py:248-316 never ran —
+this completes the capability: ConvGRU encoder + continuous-time decode).
+
 TPU-first: both recurrences are ``lax.scan``; the whole predict+loss is
 one jitted program. Frames are NHWC.
 """
@@ -26,6 +32,15 @@ class ConvGRUModel(nn.Module):
     conv_encoder_out_ch: int = 64
     convgru_out_ch: int = 64
     kernel_size: int = 5
+    # cgrudecODE: continuous-time ODE decode instead of the free-run GRU.
+    decODE: bool = False
+    latent_dim: int = 64
+    n_ode_layers: int = 2
+    neural_ode_n_units: int = 64
+    method: str = "dopri5"
+    rtol: float = 1e-4
+    atol: float = 1e-5
+    ode_max_steps: int = 128
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -56,12 +71,39 @@ class ConvGRUModel(nn.Module):
         h0 = jnp.zeros((b, eh, ew, self.convgru_out_ch), self.dtype)
         _, h_last = convgru_scan(enc_cell, h0, x)
 
-        # Decoder: free-run ConvGRU from the final state, then upsample.
-        dec_cell = ConvGRUCell(hidden_dim=self.convgru_out_ch,
-                               kernel_size=self.kernel_size,
-                               dtype=self.dtype, param_dtype=self.param_dtype,
-                               name="dec_gru")
-        hiddens, _ = convgru_freerun(dec_cell, h_last, n_out)  # (B, T, eh, ew, C)
+        aux = {}
+        if self.decODE:
+            # cgrudecODE: project the final GRU state to a latent and
+            # integrate a Neural-ODE over the prediction time grid.
+            from ode_rl_tpu.nn.conv_stacks import ConvNet
+            from ode_rl_tpu.ode import odeint_aux
+
+            z0 = nn.Conv(self.latent_dim, (1, 1), dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name="to_z0")(h_last)
+            ode_func = ConvNet(out_ch=self.latent_dim,
+                               n_layers=self.n_ode_layers,
+                               n_units=self.neural_ode_n_units,
+                               activation="relu", final_tanh=False,
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="dec_ode_func")
+            _ = ode_func(z0)  # prime params outside the solver control flow
+            ys, stats = odeint_aux(
+                lambda t, y: ode_func(y), z0, batch["tp_to_predict"],
+                method=self.method, rtol=self.rtol, atol=self.atol,
+                max_steps=self.ode_max_steps)
+            hiddens = jnp.moveaxis(ys, 0, 1)       # (B, T, eh, ew, latent)
+            aux = {"nfe": stats.nfe,
+                   "ode_converged": stats.converged.astype(jnp.int32)}
+        else:
+            # Decoder: free-run ConvGRU from the final state, then upsample.
+            dec_cell = ConvGRUCell(hidden_dim=self.convgru_out_ch,
+                                   kernel_size=self.kernel_size,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="dec_gru")
+            hiddens, _ = convgru_freerun(dec_cell, h_last, n_out)
 
         y = hiddens.reshape(b * n_out, eh, ew, -1)
         y = self._leaky(nn.ConvTranspose(32, (4, 4), strides=(2, 2),
@@ -72,11 +114,11 @@ class ConvGRUModel(nn.Module):
                              padding="SAME", dtype=self.dtype,
                              param_dtype=self.param_dtype, name="dec_1")(y)
         pred = jax.nn.sigmoid(y).reshape(b, n_out, h, w, self.in_channels)
-        return pred.astype(jnp.float32), {}
+        return pred.astype(jnp.float32), aux
 
     def loss(self, batch: Dict, train: bool = True):
         pred, aux = self.predict(batch, train=train)
         target = batch["data_to_predict"].astype(jnp.float32) + 0.5
         mse = jnp.mean(jnp.square(pred - target))
-        metrics = {"loss": mse, "mse": mse}
+        metrics = {"loss": mse, "mse": mse, **aux}
         return mse, (metrics, pred)

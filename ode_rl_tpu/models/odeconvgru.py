@@ -48,6 +48,10 @@ class ODEConvGRUModel(nn.Module):
     # backward cost follows the actual step count, not max_steps.
     ode_solver: str = "scan"
     mem: bool = False
+    # sample_odecgru variant: z0 ~ N(mu, std) instead of z0 = mu (the
+    # reference's z_sample flag gates a dead branch at ODEConvGRU.py:72-79;
+    # here the reparameterized sampling actually runs when enabled).
+    z_sample: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -74,7 +78,12 @@ class ODEConvGRUModel(nn.Module):
             ode_n_units=self.neural_ode_n_units,
             dtype=self.dtype, param_dtype=self.param_dtype, name="z0_encoder")
         mu, std, _ = z0_encoder(enc, observed_tp)
-        z0 = mu  # the reference's z_sample path is dead (ODEConvGRU.py:72-79)
+        if self.z_sample:
+            eps = jax.random.normal(self.make_rng("sample"), mu.shape,
+                                    self.dtype)
+            z0 = mu + std * eps
+        else:
+            z0 = mu  # reference's z_sample path is dead (ODEConvGRU.py:72-79)
 
         # 3. Neural-ODE decode of the latent trajectory.
         ode_func = ConvNet(out_ch=self.neural_ode_decoder_out_ch,
@@ -91,27 +100,27 @@ class ODEConvGRUModel(nn.Module):
         f = lambda t, y: ode_func(y)
 
         if self.mem:
-            # Residual stepwise integration: one short solve per interval,
-            # accumulated onto the running state.
+            # Residual stepwise integration: one short adaptive solve per
+            # interval, accumulated onto the running state. One lax.scan
+            # over the output grid — the per-interval solve traces ONCE, so
+            # a 10→190 eval compiles the same program as 10→10 (the
+            # Python-unrolled alternative is a compile-time bomb at the
+            # reference's long eval horizons, configs.yaml:583-585).
             t_grid = jnp.concatenate([observed_tp[-1:], tp_to_predict])
+            t_pairs = jnp.stack([t_grid[:-1], t_grid[1:]], axis=1)  # (T, 2)
 
-            def step(h_prev, t_pair):
-                seg = jnp.stack(t_pair)
-                ys, _ = odeint_aux(f, h_prev, seg, method=self.method,
-                                   rtol=self.rtol, atol=self.atol,
-                                   max_steps=max(self.ode_max_steps // 8, 8))
-                h_next = h_prev + jax.tree_util.tree_map(lambda a: a[-1], ys)
-                return h_next, h_next
+            def step(h_prev, seg):
+                ys, stats = odeint_aux(
+                    f, h_prev, seg, method=self.method,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=max(self.ode_max_steps // 8, 8))
+                h_next = h_prev + jax.tree_util.tree_map(
+                    lambda a: a[-1], ys)
+                return h_next, (h_next, stats.nfe)
 
-            # Unrolled over the (static) number of output frames: each
-            # interval needs its own adaptive solve.
-            ys_list = []
-            h_cur = z0
-            for i in range(tp_to_predict.shape[0]):
-                h_cur, _ = step(h_cur, (t_grid[i], t_grid[i + 1]))
-                ys_list.append(h_cur)
-            sol_y = jnp.stack(ys_list, axis=1)  # (B, T, eh, ew, C)
-            stats_metrics = {}
+            _, (ys_scan, nfes) = jax.lax.scan(step, z0, t_pairs)
+            sol_y = jnp.moveaxis(ys_scan, 0, 1)  # (B, T, eh, ew, C)
+            stats_metrics = {"nfe": jnp.sum(nfes)}
         else:
             if self.ode_solver == "fast" and self.method == "dopri5":
                 from ode_rl_tpu.ode.fast import odeint_fast

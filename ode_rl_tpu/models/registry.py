@@ -20,10 +20,21 @@ def _compute_dtype(cfg):
 
 def _build_convgru(cfg):
     from ode_rl_tpu.models.convgru import ConvGRUModel
+    # cgrudecODE (reference main.py:57-58 builds ConvGRU(decODE=opt.decODE))
+    # swaps the free-run GRU decoder for a Neural-ODE decode.
+    dec_ode = cfg.model == "cgrudecODE" or cfg.get("decODE", False)
     return ConvGRUModel(
         in_channels=cfg.in_channels,
         conv_encoder_out_ch=cfg.conv_encoder_out_ch,
         convgru_out_ch=cfg.convgru_out_ch,
+        decODE=dec_ode,
+        latent_dim=int(cfg.get("latent_dim", 64)),
+        n_ode_layers=int(cfg.get("n_ode_layers", 2)),
+        neural_ode_n_units=int(cfg.get("neural_ode_n_units", 64)),
+        method=cfg.get("decode_diff_method", "dopri5"),
+        rtol=float(cfg.get("odeint_rtol", 1e-4)),
+        atol=float(cfg.get("odeint_atol", 1e-5)),
+        ode_max_steps=int(cfg.get("ode_max_steps", 128)),
         dtype=_compute_dtype(cfg),
     )
 
@@ -44,6 +55,7 @@ def _build_odeconvgru(cfg):
         ode_remat=cfg.get("ode_remat", True),
         ode_solver=cfg.get("ode_solver", "scan"),
         mem=cfg.get("mem", False),
+        z_sample=cfg.get("z_sample", False),
         dtype=_compute_dtype(cfg),
     )
 

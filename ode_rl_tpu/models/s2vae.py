@@ -37,6 +37,83 @@ from ode_rl_tpu.nn.s3vae_nets import _GRU
 from ode_rl_tpu.nn.slot_attention import SlotAttentionAutoEncoder
 
 
+class _GRUStackStep(nn.Module):
+    """One time step of a multi-layer GRU free-run (zero inputs, each
+    layer feeds the next — reference gru_rollout, S2VAE.py:97-115)."""
+
+    f: int
+    gru_layers: int
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, hs, _):
+        inp = jnp.zeros_like(hs[0])
+        new_hs = []
+        for l in range(self.gru_layers):
+            h_new, _ = nn.GRUCell(features=self.f, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name=f"l{l}")(hs[l], inp)
+            new_hs.append(h_new)
+            inp = h_new
+        return tuple(new_hs), new_hs[-1]
+
+
+class _SlotGRURollout(nn.Module):
+    """Rollout + (mu, logvar) heads for ONE slot; the slot axis is mapped
+    over this module with nn.vmap (per-slot parameters, single trace)."""
+
+    f: int
+    gru_layers: int
+    out_seq: int
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, z0):                      # (B, f)
+        hs0 = tuple([z0] * self.gru_layers)
+        scan = nn.scan(
+            _GRUStackStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            out_axes=1,
+            length=self.out_seq,
+        )
+        _, roll = scan(f=self.f, gru_layers=self.gru_layers,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="trans")(hs0, None)  # (B, T, f)
+        mu = nn.Dense(self.f, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="mu")(roll)
+        lv = nn.Dense(self.f, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="logvar")(roll)
+        return roll, mu, lv
+
+
+class _SlotCGRURollout(nn.Module):
+    """CS2VAE variant: 1×1→4×4 up-projection, ConvGRU free-run, conv
+    heads (reference cgru_rollout, S2VAE.py:117-130)."""
+
+    f: int
+    out_seq: int
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, z0):                      # (B, f)
+        b = z0.shape[0]
+        up = nn.ConvTranspose(self.f, (4, 4), padding="VALID",
+                              dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="up")(z0.reshape(b, 1, 1, self.f))
+        cell = ConvGRUCell(hidden_dim=self.f, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="trans")
+        roll, _ = convgru_freerun(cell, up, self.out_seq)  # (B,T,4,4,f)
+        conv = lambda name: nn.Conv(
+            self.f, (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        return roll, conv("mu")(roll), conv("logvar")(roll)
+
+
 class S2VAEModel(nn.Module):
     in_channels: int = 1
     d_zf: int = 128
@@ -86,63 +163,27 @@ class S2VAEModel(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="slot_z")(set_in)             # (B, S, f)
 
-        # 3. Per-slot rollout to out_seq with per-slot heads. Slots fold
-        # into the batch axis; per-slot parameters via feature groups is
-        # replaced by per-slot module instances like the reference.
-        slot_zs, mus, logvars = [], [], []
-        for i in range(s):
-            z0 = slot_z0[:, i]
-            if self.transition == "gru":
-                # Multi-layer GRU, zero inputs, z0 as every layer's h0.
-                hs = [z0] * self.gru_layers
-                zeros = jnp.zeros((b, f), self.dtype)
-                cells = [nn.GRUCell(features=f, dtype=self.dtype,
-                                    param_dtype=self.param_dtype,
-                                    name=f"trans_{i}_l{l}")
-                         for l in range(self.gru_layers)]
-
-                def step(hs, _):
-                    new_hs = []
-                    inp = zeros
-                    for l, cell in enumerate(cells):
-                        h_new, _ = cell(hs[l], inp)
-                        new_hs.append(h_new)
-                        inp = h_new
-                    return new_hs, new_hs[-1]
-
-                outs = []
-                state = hs
-                for _t in range(out_seq):       # short static horizon
-                    state, top = step(state, None)
-                    outs.append(top)
-                roll = jnp.stack(outs, axis=1)          # (B, T, f)
-                mu = nn.Dense(f, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name=f"mu_{i}")(roll)
-                lv = nn.Dense(f, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name=f"logvar_{i}")(roll)
-            else:
-                up = nn.ConvTranspose(f, (4, 4), padding="VALID",
-                                      dtype=self.dtype,
-                                      param_dtype=self.param_dtype,
-                                      name=f"up_{i}")(
-                    z0.reshape(b, 1, 1, f))             # 1×1 → 4×4
-                cell = ConvGRUCell(hidden_dim=f, dtype=self.dtype,
-                                   param_dtype=self.param_dtype,
-                                   name=f"trans_{i}")
-                roll, _ = convgru_freerun(cell, up, out_seq)  # (B,T,4,4,f)
-                conv = lambda name: nn.Conv(
-                    f, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=name)
-                mu = conv(f"mu_{i}")(roll)
-                lv = conv(f"logvar_{i}")(roll)
-            slot_zs.append(roll)
-            mus.append(mu)
-            logvars.append(lv)
-
-        post_mu = jnp.stack(mus, axis=1)       # (B, S, T, …, f)
-        post_lv = jnp.stack(logvars, axis=1)
+        # 3. Per-slot rollout to out_seq with per-slot heads. One module
+        # traced ONCE: nn.vmap maps the slot axis with per-slot parameters
+        # (variable_axes={'params': 0}) and nn.scan handles the time axis
+        # — the reference's per-slot Python loops (S2VAE.py:97-130)
+        # re-trace the whole rollout per slot, which on TPU multiplied
+        # compile time by the slot count (15-minute compiles).
+        if self.transition == "gru":
+            roller_cls, kwargs = _SlotGRURollout, {
+                "f": f, "gru_layers": self.gru_layers, "out_seq": out_seq}
+        else:
+            roller_cls, kwargs = _SlotCGRURollout, {"f": f,
+                                                    "out_seq": out_seq}
+        SlotRoller = nn.vmap(
+            roller_cls,
+            in_axes=1, out_axes=1,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )
+        _, post_mu, post_lv = SlotRoller(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="slot_rollout", **kwargs)(slot_z0)   # (B, S, T, …, f)
         post_std = 0.5 * jnp.exp(post_lv)      # reference quirk (:181)
 
         # Prior: N(0,1), or inferred by a GRU over the posterior stats.

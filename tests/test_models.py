@@ -106,3 +106,44 @@ def test_long_horizon_eval():
                         method=model.predict)
     pred, _ = model.apply(params, batch, train=False, method=model.predict)
     assert pred.shape == (2, 20, 64, 64, 1)
+
+
+def test_cgrudecode_ode_decoder_path():
+    """cgrudecODE: ConvGRU encoder + Neural-ODE decode (the capability the
+    reference's main.py:57-58 flag promises; its DecODEr draft never ran)."""
+    model = ConvGRUModel(in_channels=1, conv_encoder_out_ch=16,
+                         convgru_out_ch=16, decODE=True, latent_dim=16,
+                         n_ode_layers=1, neural_ode_n_units=16,
+                         ode_max_steps=32)
+    batch = tiny_batch()
+    params = model.init(jax.random.key(0), batch, train=False,
+                        method=model.predict)
+    pred, aux = model.apply(params, batch, train=False, method=model.predict)
+    assert pred.shape == batch["data_to_predict"].shape
+    assert "nfe" in aux and int(aux["nfe"]) > 0
+    # trains: loss decreases over a few steps
+    from ode_rl_tpu.train.step import create_train_state, make_train_step
+    state = create_train_state(model, CFG, batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+    _, m0 = step(state, batch, jax.random.key(1))
+    for i in range(5):
+        state, m = step(state, batch, jax.random.key(i))
+    assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_odeconvgru_z_sample():
+    """sample_odecgru: z0 ~ N(mu, std) — stochastic given different rng,
+    deterministic given the same key."""
+    model = small_odeconvgru(z_sample=True)
+    batch = tiny_batch()
+    params = model.init({"params": jax.random.key(0),
+                         "sample": jax.random.key(1)},
+                        batch, train=False, method=model.predict)
+    p1, _ = model.apply(params, batch, train=False, method=model.predict,
+                        rngs={"sample": jax.random.key(2)})
+    p2, _ = model.apply(params, batch, train=False, method=model.predict,
+                        rngs={"sample": jax.random.key(3)})
+    p3, _ = model.apply(params, batch, train=False, method=model.predict,
+                        rngs={"sample": jax.random.key(2)})
+    assert not np.allclose(p1, p2), "z_sample must actually sample"
+    np.testing.assert_allclose(p1, p3, rtol=1e-6)
