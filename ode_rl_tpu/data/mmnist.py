@@ -175,6 +175,12 @@ def parse_datasets(cfg) -> dict:
             "n_train_batches": max(train_n // cfg.batch_size, 1),
             "n_test_batches": max((total - train_n) // cfg.batch_size, 1),
         }
+    from ode_rl_tpu.data.video_corpus import DATASET_SPECS, parse_video_corpus
+    if cfg.dataset in DATASET_SPECS:
+        # Vid-ODE external datasets (kth/mgif/penn/hurricane/phyre/minerl
+        # + mmnist_video): frozen per-video npy corpora
+        # (reference Vid-ODE/dataloader.py:225-340).
+        return parse_video_corpus(cfg)
     if cfg.dataset != "mmnist":
         raise NotImplementedError(
             f"There is no dataset named {cfg.dataset}")

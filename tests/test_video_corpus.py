@@ -1,0 +1,121 @@
+"""Vid-ODE external dataset layer: per-video npy corpora, per-dataset
+transforms, short-video filtering, sampler integration, and end-to-end
+VidODE training on a synthetic KTH-shaped corpus
+(reference Vid-ODE/dataloader.py:225-394)."""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpora")
+    for ds in ("kth", "hurricane", "mgif"):
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts/make_synthetic_corpus.py"),
+             "--dataset", ds, "--out", str(root / ds),
+             "--train_videos", "6", "--test_videos", "3"],
+            check=True, cwd=REPO)
+    return root
+
+
+def test_corpus_shapes_and_range(corpora):
+    from ode_rl_tpu.data.video_corpus import VideoCorpus
+
+    c = VideoCorpus(corpora / "kth", "kth", batch_size=2, clip_len=12,
+                    resolution=64, seed=0)
+    batch = next(c)
+    assert batch.shape == (2, 12, 64, 64, 1)  # CenterCrop(120)→Scale(64)
+    assert float(batch.min()) >= -0.5 - 1e-6
+    assert float(batch.max()) <= 0.5 + 1e-6
+
+
+def test_hurricane_six_channels(corpora):
+    from ode_rl_tpu.data.video_corpus import VideoCorpus
+
+    c = VideoCorpus(corpora / "hurricane", "hurricane", batch_size=2,
+                    clip_len=10, resolution=64, seed=0)
+    batch = next(c)
+    assert batch.shape == (2, 10, 64, 64, 6)
+    # channels must not be copies of each other (real multi-field data)
+    ch = np.asarray(batch)
+    assert not np.allclose(ch[..., 0], ch[..., 3])
+
+
+def test_short_video_filtering(corpora):
+    """mgif videos vary in length; a long clip_len must drop short ones
+    (reference remove_files_under_sample_size)."""
+    from ode_rl_tpu.data.video_corpus import VideoCorpus
+
+    all_c = VideoCorpus(corpora / "mgif", "mgif", batch_size=2, clip_len=12)
+    long_c = VideoCorpus(corpora / "mgif", "mgif", batch_size=2, clip_len=55)
+    assert len(long_c.files) < len(all_c.files)
+
+
+def test_test_split_deterministic(corpora):
+    from ode_rl_tpu.data.video_corpus import VideoCorpus
+
+    mk = lambda: VideoCorpus(corpora / "kth", "kth", batch_size=2,
+                             clip_len=8, is_train=False, resolution=64)
+    b1, b2 = next(mk()), next(mk())
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+
+
+def test_parse_datasets_dispatch(corpora):
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.data.mmnist import parse_datasets
+
+    cfg = Config({"dataset": "kth", "data_dir": str(corpora / "kth"),
+                  "batch_size": 2, "phase": "train", "window_size": 10,
+                  "train_seq": 10, "test_seq": 10, "resolution": 64,
+                  "seed": 0})
+    loaders = parse_datasets(cfg)
+    batch = next(loaders["train_dataloader"])
+    assert batch.shape == (2, 10, 64, 64, 1)
+    assert loaders["n_train_batches"] >= 1
+    assert loaders["frozen"] is True
+
+
+def test_sampler_integration(corpora):
+    """Corpus clips flow through the Vid-ODE samplers into the batch-dict
+    protocol (split_and_subsample_batch semantics)."""
+    import jax
+
+    from ode_rl_tpu.data.samplers import sample, split_batch
+    from ode_rl_tpu.data.video_corpus import VideoCorpus
+
+    c = VideoCorpus(corpora / "kth", "kth", batch_size=2, clip_len=12,
+                    resolution=64)
+    video = next(c)
+    frames, mask = sample(jax.random.key(0), video, sample_size=8,
+                          window_size=12, irregular=True, extrap=True,
+                          train=True)
+    batch = split_batch(frames, mask, extrap=True)
+    assert batch["observed_data"].shape[1] == frames.shape[1] // 2
+    assert batch["observed_mask"].shape[:2] == frames.shape[:2][:1] + (
+        frames.shape[1] // 2,)
+
+
+def test_kth_vidode_trains_end_to_end(corpora, tmp_path):
+    """`--configs defaults train_kth_vidode` on a synthetic KTH corpus:
+    the VERDICT item-4 done criterion, via the real train loop."""
+    from ode_rl_tpu.core.config import load_config
+    from ode_rl_tpu.train.loop import train
+
+    cfg = load_config(["defaults", "train_kth_vidode"],
+                      config_path=REPO / "configs.yaml")
+    cfg = cfg.replace(
+        data_dir=str(corpora / "kth"), logdir=str(tmp_path),
+        epochs=1, steps_per_epoch=2, batch_size=2, quiet=True,
+        window_size=8, train_seq=8, train_in_seq=4, train_out_seq=4,
+        n_layers=1, ode_max_steps=16, decode_diff_method="euler",
+        loss_log_freq=1, ckpt_save_freq=100)
+    result = train(cfg)
+    assert result["final_step"] == 2
+    assert np.isfinite(result["loss"])
