@@ -30,8 +30,14 @@ def make_batch_dict(
     flow_grid: int = 3,
     flow_topk: int = 3,
     mask: Optional[jnp.ndarray] = None,
+    flow_label_fn=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Split a (B, T, H, W, C) video in [-0.5, 0.5] into the batch dict."""
+    """Split a (B, T, H, W, C) video in [-0.5, 0.5] into the batch dict.
+
+    ``flow_label_fn`` overrides the frame-diff label proxy with a custom
+    ``[0,1]-video → (B, T-1, grid²)`` function — e.g. the FlowNetC
+    predicted-flow pipeline (data/flow_labels.make_flownet_label_fn,
+    matching reference scripts/get_labels_from_pred_flow.py)."""
     b, t = video.shape[:2]
     n_out = t - n_in
     observed_tp, tp_to_predict = timestamps_for(n_in, n_out)
@@ -46,7 +52,11 @@ def make_batch_dict(
     if with_flow_labels:
         # Reference: per-frame flow-motion grid labels for the first
         # n_in - 1 transitions (dataloader.py:167-172).
-        labels = motion_grid_labels(video + 0.5, grid=flow_grid, topk=flow_topk)
+        if flow_label_fn is not None:
+            labels = flow_label_fn(video + 0.5)
+        else:
+            labels = motion_grid_labels(video + 0.5, grid=flow_grid,
+                                        topk=flow_topk)
         batch["in_flow_labels"] = labels[:, : n_in - 1]
         batch["out_flow_labels"] = labels[:, : n_in - 1]  # ref reuses in-labels
     return batch

@@ -72,23 +72,56 @@ def make_flow_train_step(model, lr: float = 1e-4,
 
 def train_flownet(model, steps: int = 100, batch: int = 8,
                   lr: float = 1e-4, seed: int = 0,
-                  pair_input: bool = True) -> Dict:
-    """Short training run on the synthetic warp dataset; returns final
-    metrics. ``pair_input=False`` for FlowNetC (two-image signature)."""
-    bank = jnp.asarray(get_sprite_bank())
+                  pair_input: bool = True,
+                  data_root=None, validate: bool = False) -> Dict:
+    """Flow training run; returns final metrics. ``pair_input=False`` for
+    FlowNetC (two-image signature).
+
+    ``data_root`` switches supervision from the synthetic warp generator
+    to a FlyingChairs-layout disk corpus (ppm pairs + .flo,
+    reference flownet2-pytorch/datasets.py:223-280); ``validate`` runs the
+    EPE sweep over the held-out split afterwards (reference main.py's
+    validation loop)."""
+    if data_root is not None:
+        from ode_rl_tpu.flow.data import FlyingChairsCorpus
+        corpus = FlyingChairsCorpus(data_root, batch_size=batch,
+                                    is_train=True, seed=seed)
+        draw = lambda _k: tuple(map(jnp.asarray, next(corpus)))
+    else:
+        bank = jnp.asarray(get_sprite_bank())
+        draw = lambda k: synthetic_flow_batch(k, bank, batch=batch)
+
     key = jax.random.key(seed)
     key, dk = jax.random.split(key)
-    img1, img2, flow = synthetic_flow_batch(dk, bank, batch=batch)
-    inputs = ((jnp.concatenate([img1, img2], -1),) if pair_input
-              else (img1, img2))
+    img1, img2, flow = draw(dk)
+    mk_inputs = lambda i1, i2: ((jnp.concatenate([i1, i2], -1),)
+                                if pair_input else (i1, i2))
     init_fn, step_fn = make_flow_train_step(model, lr=lr)
-    state = init_fn(jax.random.key(1), inputs)
+    state = init_fn(jax.random.key(1), mk_inputs(img1, img2))
 
     metrics = {}
     for _ in range(steps):
         key, dk = jax.random.split(key)
-        img1, img2, flow = synthetic_flow_batch(dk, bank, batch=batch)
-        inputs = ((jnp.concatenate([img1, img2], -1),) if pair_input
-                  else (img1, img2))
-        state, metrics = step_fn(state, inputs, flow)
-    return {k: float(v) for k, v in metrics.items()}
+        img1, img2, flow = draw(dk)
+        state, metrics = step_fn(state, mk_inputs(img1, img2), flow)
+    out = {k: float(v) for k, v in metrics.items()}
+    if validate and data_root is not None:
+        from ode_rl_tpu.flow.data import FlyingChairsCorpus, validate_epe
+        val = FlyingChairsCorpus(data_root, batch_size=batch,
+                                 is_train=False, seed=seed)
+        out["val_epe"] = validate_epe(model, state["params"], val,
+                                      pair_input=pair_input)
+    out["state"] = state
+    return out
+
+
+def save_flownet_params(state: Dict, path) -> None:
+    """Serialize trained flow-net params (flax msgpack) for reuse as the
+    DFP label source (configs: flownet_params_path)."""
+    import pathlib
+
+    from flax import serialization
+
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(serialization.to_bytes(state["params"]))

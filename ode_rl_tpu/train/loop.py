@@ -35,6 +35,33 @@ def _needs_flow_labels(cfg) -> bool:
     return cfg.model in ("S3VAE",)
 
 
+def _make_flow_label_fn(cfg):
+    """DFP label source: None → frame-diff proxy; 'flownet' → labels from
+    FlowNetC predicted flow inside the jitted step (the reference's
+    offline pipeline, scripts/get_labels_from_pred_flow.py:30-49)."""
+    if cfg.get("flow_label_source", "diff") != "flownet":
+        return None
+    import jax.numpy as jnp_
+
+    from ode_rl_tpu.data.flow_labels import make_flownet_label_fn
+    from ode_rl_tpu.flow.flownets import FlowNetC
+
+    net = FlowNetC()
+    dummy = jnp_.zeros((1, 64, 64, 3))
+    params = net.init(jax.random.key(0), dummy, dummy)
+    path = str(cfg.get("flownet_params_path", "") or "")
+    if path and pathlib.Path(path).exists():
+        from flax import serialization
+        params = serialization.from_bytes(
+            params, pathlib.Path(path).read_bytes())
+        print(f"flow labels: FlowNetC weights from {path}")
+    else:
+        print("warning: flow_label_source=flownet without a trained "
+              "flownet_params_path — using a randomly initialized FlowNetC "
+              "(train one with ode_rl_tpu.flow.train.train_flownet)")
+    return make_flownet_label_fn(net, params)
+
+
 def setup(cfg, seed: Optional[int] = None):
     """Build model, loaders, initial state, and jitted steps."""
     if cfg.get("debug_nans", False):
@@ -160,12 +187,15 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
             batch_size=cfg.batch_size, n_frames_input=win,
             n_frames_output=0, num_digits=cfg.num_digits,
             data_dir=cfg.get("data_dir"), seed=cfg.get("seed", 0)))
+    flow_label_fn = (_make_flow_label_fn(cfg) if _needs_flow_labels(cfg)
+                     else None)
     if fused:
         # One dispatch per step: generator + step in a single XLA program.
         from ode_rl_tpu.data.sprites import get_sprite_bank
         import jax.numpy as jnp
         bank = jnp.asarray(get_sprite_bank(cfg.get("data_dir")))
-        fused_step = make_fused_train_step(model, cfg, bank, mesh=mesh)
+        fused_step = make_fused_train_step(model, cfg, bank, mesh=mesh,
+                                           flow_label_fn=flow_label_fn)
         loop_key = jax.random.fold_in(rng, 0xDA7A)
     else:
         train_step = make_train_step(
@@ -226,7 +256,8 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                 else:
                     batch = make_batch_dict(
                         video, n_in=cfg.train_in_seq,
-                        with_flow_labels=_needs_flow_labels(cfg))
+                        with_flow_labels=_needs_flow_labels(cfg),
+                        flow_label_fn=flow_label_fn)
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 rng, sub = jax.random.split(rng)

@@ -120,7 +120,8 @@ def make_train_step(model, donate: bool = True,
                    donate_argnums=(0,) if donate else ())
 
 
-def make_fused_train_step(model, cfg, sprite_bank, mesh=None) -> Callable:
+def make_fused_train_step(model, cfg, sprite_bank, mesh=None,
+                          flow_label_fn=None) -> Callable:
     """Train step with the Moving MNIST generator fused INTO the jitted
     program: (state, key) → (state, metrics, next_key).
 
@@ -151,7 +152,8 @@ def make_fused_train_step(model, cfg, sprite_bank, mesh=None) -> Callable:
             from jax.sharding import NamedSharding, PartitionSpec as P
             video = jax.lax.with_sharding_constraint(
                 video, NamedSharding(mesh, P("data")))
-        batch = make_batch_dict(video, n_in=n_in, with_flow_labels=with_flow)
+        batch = make_batch_dict(video, n_in=n_in, with_flow_labels=with_flow,
+                                flow_label_fn=flow_label_fn)
         new_state, metrics = base_step(state, batch, key_model)
         return new_state, metrics, key_next
 

@@ -1,0 +1,265 @@
+"""Numerics parity against the REFERENCE'S OWN SOURCE.
+
+These tests import the actual modules from /root/reference (file-level
+importlib load with a skimage shim — skimage/torchdiffeq are not in this
+image) and assert our flax modules produce identical outputs under
+identical weights. This replaces hand-written torch replicas as the
+oracle (VERDICT round-1 weakness #9): the code being compared against is
+the reference's, byte for byte.
+
+Covered oracles:
+  * modules/ConvGRUCell.py  — fused gate conv + GroupNorm GRU update
+  * modules/ODEConvGRUCell.py — backward Euler+GRU z0 inference incl. the
+    -0.01 bootstrap-dt quirk and the (mu, |std|) head
+  * helpers/utils.create_convnet via modules/DiffEqSolver.ODEFunc — the
+    ODE dynamics field
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Load the reference modules directly from /root/reference with the
+    minimal import shims the env requires (skimage absent; torchdiffeq
+    absent — only needed by DiffEqSolver.forward, which we don't call)."""
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        met = types.ModuleType("skimage.metrics")
+        met.structural_similarity = lambda *a, **k: 0.0
+        sk.metrics = met
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.metrics"] = met
+    if "torchdiffeq" not in sys.modules:
+        td = types.ModuleType("torchdiffeq")
+        td.odeint = None  # imported by DiffEqSolver.py, unused here
+        sys.modules["torchdiffeq"] = td
+    sys.path.insert(0, str(REF))
+
+    def load(name, rel):
+        spec = importlib.util.spec_from_file_location(name, REF / rel)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    mods = {
+        "cgru": load("ref_convgrucell", "modules/ConvGRUCell.py"),
+        "ode_cgru": load("ref_odeconvgrucell", "modules/ODEConvGRUCell.py"),
+        "solver": load("ref_diffeqsolver", "modules/DiffEqSolver.py"),
+        "utils": load("ref_helpers_utils", "helpers/utils.py"),
+    }
+    sys.path.remove(str(REF))
+    return mods
+
+
+def _t(x):  # NHWC numpy → NCHW torch
+    return torch.from_numpy(np.moveaxis(np.asarray(x), -1, 1).copy())
+
+
+def _copy_cell_weights(params, ref_cell):
+    """Our ConvGRUCell params → reference ConvGRUCell (conv + GroupNorm)."""
+    with torch.no_grad():
+        ref_cell.conv_gates[0].weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params["conv_gates"]["kernel"]), (3, 2, 0, 1))))
+        ref_cell.conv_gates[0].bias.copy_(torch.from_numpy(
+            np.asarray(params["conv_gates"]["bias"])))
+        ref_cell.conv_gates[1].weight.copy_(torch.from_numpy(
+            np.asarray(params["gates_scale"])))
+        ref_cell.conv_gates[1].bias.copy_(torch.from_numpy(
+            np.asarray(params["gates_bias"])))
+        ref_cell.conv_can[0].weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params["conv_cand"]["kernel"]), (3, 2, 0, 1))))
+        ref_cell.conv_can[0].bias.copy_(torch.from_numpy(
+            np.asarray(params["conv_cand"]["bias"])))
+        ref_cell.conv_can[1].weight.copy_(torch.from_numpy(
+            np.asarray(params["cand_scale"])))
+        ref_cell.conv_can[1].bias.copy_(torch.from_numpy(
+            np.asarray(params["cand_bias"])))
+
+
+def _copy_convnet_weights(params, ref_seq, n_layers):
+    """Our ConvNet params (in/mid_i/out) → reference create_convnet
+    Sequential (conv at positions 0, 2, 4, …)."""
+    convs = [m for m in ref_seq if isinstance(m, torch.nn.Conv2d)]
+    names = ["in"] + [f"mid_{i}" for i in range(n_layers)] + ["out"]
+    assert len(convs) == len(names)
+    with torch.no_grad():
+        for conv, name in zip(convs, names):
+            conv.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(params[name]["kernel"]), (3, 2, 0, 1))))
+            conv.bias.copy_(torch.from_numpy(np.asarray(params[name]["bias"])))
+
+
+def test_convgru_cell_single_step_vs_reference(ref_modules):
+    from ode_rl_tpu.nn.convgru import ConvGRUCell
+
+    c, b, h, w = 32, 2, 8, 8
+    rng = np.random.RandomState(0)
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    h0 = rng.randn(b, h, w, c).astype(np.float32)
+
+    cell = ConvGRUCell(hidden_dim=c, kernel_size=5, gate_impl="xla")
+    variables = cell.init(jax.random.key(0), jnp.asarray(h0), jnp.asarray(x))
+    ours = np.asarray(cell.apply(variables, jnp.asarray(h0), jnp.asarray(x)))
+
+    ref_cell = ref_modules["cgru"].ConvGRUCell(
+        input_size=(h, w), input_dim=c, hidden_dim=c, kernel_size=5,
+        dtype=torch.FloatTensor)
+    _copy_cell_weights(variables["params"], ref_cell)
+    with torch.no_grad():
+        _, h_next = ref_cell(input_tensor=_t(x)[None], h_cur=_t(h0),
+                             seq_len=1)
+    np.testing.assert_allclose(
+        ours, np.moveaxis(h_next.numpy(), 1, -1), atol=2e-5)
+
+
+def test_convgru_cell_sequence_vs_reference(ref_modules):
+    """Multi-step recurrence: every intermediate hidden state matches the
+    reference's Python loop (ConvGRUCell.forward, :55-86)."""
+    from ode_rl_tpu.nn.convgru import ConvGRUCell
+
+    c, b, h, w, t = 32, 2, 8, 8, 5
+    rng = np.random.RandomState(1)
+    xs = rng.randn(t, b, h, w, c).astype(np.float32)
+    h0 = rng.randn(b, h, w, c).astype(np.float32)
+
+    cell = ConvGRUCell(hidden_dim=c, kernel_size=5, gate_impl="xla")
+    variables = cell.init(jax.random.key(0), jnp.asarray(h0),
+                          jnp.asarray(xs[0]))
+    h_cur, ours = jnp.asarray(h0), []
+    for i in range(t):
+        h_cur = cell.apply(variables, h_cur, jnp.asarray(xs[i]))
+        ours.append(np.asarray(h_cur))
+
+    ref_cell = ref_modules["cgru"].ConvGRUCell(
+        input_size=(h, w), input_dim=c, hidden_dim=c, kernel_size=5,
+        dtype=torch.FloatTensor)
+    _copy_cell_weights(variables["params"], ref_cell)
+    xs_t = torch.from_numpy(np.moveaxis(xs, -1, 2).copy())   # (t,b,c,h,w)
+    with torch.no_grad():
+        stack, _ = ref_cell(input_tensor=xs_t, h_cur=_t(h0), seq_len=t)
+    for i in range(t):
+        np.testing.assert_allclose(
+            ours[i], np.moveaxis(stack[i].numpy(), 1, -1), atol=5e-5)
+
+
+def test_ode_convgru_z0_inference_vs_reference(ref_modules):
+    """Full backward z0 pass against modules/ODEConvGRUCell.py: the Euler
+    bootstrap dt=-0.01, the reversed-grid spacing, the GRU fuse, and the
+    (mu, |std|) head must all line up."""
+    from ode_rl_tpu.nn.odeconvgru import ODEConvGRUEncoder
+
+    c, b, h, w, t = 32, 2, 8, 8, 4
+    n_layers, n_units = 2, 32
+    rng = np.random.RandomState(2)
+    xs = rng.randn(b, t, h, w, c).astype(np.float32) * 0.1
+    ts = np.arange(t, dtype=np.float32) / (2 * t)
+
+    enc = ODEConvGRUEncoder(ch=c, ode_n_layers=n_layers, ode_n_units=n_units)
+    variables = enc.init(jax.random.key(0), jnp.asarray(xs),
+                         jnp.asarray(ts))
+    mu, std, latents = enc.apply(variables, jnp.asarray(xs),
+                                 jnp.asarray(ts))
+    params = variables["params"]
+
+    # torch dynamics net with OUR weights, handed to the REFERENCE cell
+    tnet = ref_modules["utils"].create_convnet(
+        c, c, n_layers=n_layers, n_units=n_units, nonlinear="relu",
+        final_act=False)
+    _copy_convnet_weights(params["step"]["ode_func"], tnet, n_layers)
+    ref_cell = ref_modules["ode_cgru"].ODEConvGRUCell(
+        ode_func=lambda tt, y: tnet(y), opt=None, resolution=(h, w), ch=c,
+        device=None, kernel_size=5)
+    _copy_cell_weights(params["step"]["cgru_cell"], ref_cell.cgru_cell)
+    with torch.no_grad():
+        ref_cell.transform_z0[0].weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params["head_0"]["kernel"]), (3, 2, 0, 1))))
+        ref_cell.transform_z0[0].bias.copy_(torch.from_numpy(
+            np.asarray(params["head_0"]["bias"])))
+        ref_cell.transform_z0[2].weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params["head_1"]["kernel"]), (3, 2, 0, 1))))
+        ref_cell.transform_z0[2].bias.copy_(torch.from_numpy(
+            np.asarray(params["head_1"]["bias"])))
+
+    xs_t = torch.from_numpy(np.moveaxis(xs, -1, 2).copy()).permute(
+        1, 0, 2, 3, 4)                                     # (t, b, c, h, w)
+    with torch.no_grad():
+        ref_mu, ref_std = ref_cell(xs_t, torch.from_numpy(ts))
+        _, ref_latents = ref_cell.run_ode_conv_gru(
+            xs_t, torch.from_numpy(ts))
+
+    np.testing.assert_allclose(np.asarray(mu),
+                               np.moveaxis(ref_mu.numpy(), 1, -1),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(std),
+                               np.moveaxis(ref_std.numpy(), 1, -1),
+                               atol=5e-5)
+    # latent trajectory: both stacks are in iteration order (reversed
+    # time — latest frame first); reference permutes to (b, t, c, h, w)
+    ref_lat = np.moveaxis(ref_latents.numpy(), 2, -1)       # (b, t, h, w, c)
+    np.testing.assert_allclose(np.asarray(latents), ref_lat, atol=5e-5)
+
+
+def test_ode_dynamics_field_vs_reference(ref_modules):
+    """Our ConvNet vs the reference's ODEFunc(create_convnet) under the
+    same weights — including the backwards gradient-negation flag."""
+    from ode_rl_tpu.nn.conv_stacks import ConvNet
+
+    c, b, h, w = 16, 2, 8, 8
+    n_layers, n_units = 3, 24
+    rng = np.random.RandomState(3)
+    y = rng.randn(b, h, w, c).astype(np.float32)
+
+    net = ConvNet(out_ch=c, n_layers=n_layers, n_units=n_units,
+                  activation="relu", final_tanh=False)
+    variables = net.init(jax.random.key(0), jnp.asarray(y))
+    ours = np.asarray(net.apply(variables, jnp.asarray(y)))
+
+    ref_fn = ref_modules["solver"].ODEFunc(
+        n_inputs=c, n_outputs=c, n_layers=n_layers, n_units=n_units,
+        nonlinear="relu", final_act=False)
+    _copy_convnet_weights(variables["params"], ref_fn.gradient_net,
+                          n_layers)
+    with torch.no_grad():
+        ref_out = ref_fn(0.0, _t(y))
+        ref_back = ref_fn(0.0, _t(y), backwards=True)
+    np.testing.assert_allclose(ours, np.moveaxis(ref_out.numpy(), 1, -1),
+                               atol=2e-5)
+    np.testing.assert_allclose(-ours, np.moveaxis(ref_back.numpy(), 1, -1),
+                               atol=2e-5)
+
+
+def test_create_convnet_final_tanh_vs_reference(ref_modules):
+    """final_act=True appends a Tanh (reference helpers/utils.py:179-181)
+    — our final_tanh flag must match."""
+    from ode_rl_tpu.nn.conv_stacks import ConvNet
+
+    c = 8
+    rng = np.random.RandomState(4)
+    y = rng.randn(1, 6, 6, c).astype(np.float32)
+    net = ConvNet(out_ch=c, n_layers=1, n_units=12, activation="tanh",
+                  final_tanh=True)
+    variables = net.init(jax.random.key(0), jnp.asarray(y))
+    ours = np.asarray(net.apply(variables, jnp.asarray(y)))
+
+    ref_seq = ref_modules["utils"].create_convnet(
+        c, c, n_layers=1, n_units=12, nonlinear="tanh", final_act=True)
+    _copy_convnet_weights(variables["params"], ref_seq, 1)
+    with torch.no_grad():
+        ref_out = ref_seq(_t(y))
+    np.testing.assert_allclose(ours, np.moveaxis(ref_out.numpy(), 1, -1),
+                               atol=2e-5)
