@@ -97,7 +97,18 @@ class ODEConvGRUModel(nn.Module):
         # the solver's first stage eval). The field is autonomous: t is
         # ignored, like the reference's ODEFunc.forward.
         _ = ode_func(mu)
-        f = lambda t, y: ode_func(y)
+        # Solver state and RK arithmetic run in fp32 even under bf16
+        # compute: the convs inside the field still run on the MXU in
+        # bf16 (flax casts their input), but stage accumulation and the
+        # error estimate get fp32 headroom. With bf16 state the embedded
+        # error has a ~1e-3 relative noise floor, far above
+        # rtol 1e-4 / atol 1e-5 — the controller then shrinks dt until the
+        # solve saturates max_steps (measured: NFE pinned at 771 = budget,
+        # with truncated non-converged trajectories, during the stiff
+        # mid-training transient).
+        f = lambda t, y: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), ode_func(y))
+        z0 = z0.astype(jnp.float32)
 
         if self.mem:
             # Residual stepwise integration: one short adaptive solve per
@@ -126,7 +137,9 @@ class ODEConvGRUModel(nn.Module):
                 from ode_rl_tpu.ode.fast import odeint_fast
                 ode_params = ode_func.variables  # primed above
                 ys, stats = odeint_fast(
-                    lambda t, y, p: ode_func.apply(p, y),
+                    lambda t, y, p: jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.float32),
+                        ode_func.apply(p, y)),
                     z0, tp_to_predict, ode_params,
                     rtol=self.rtol, atol=self.atol,
                     max_steps=self.ode_max_steps)

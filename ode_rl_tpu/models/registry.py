@@ -95,6 +95,8 @@ def _build_s3vae(cfg):
         num_iterations=cfg.get("num_iterations", 3),
         rim=cfg.get("rim", False),
         unit_per_rim=cfg.get("unit_per_rim", 100),
+        rim_num_blocks=int(_first(cfg.get("num_blocks", [4]))),
+        rim_topk=int(_first(cfg.get("topk", [3]))),
         flow_grid=cfg.get("flow_grid", 3),
         extrapolate=cfg.get("extrapolate", False),
         data_points=int(cfg.get("data_points", 10000)),

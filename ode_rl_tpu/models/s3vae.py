@@ -68,6 +68,8 @@ class S3VAEModel(nn.Module):
     num_iterations: int = 3
     rim: bool = False
     unit_per_rim: int = 100
+    rim_num_blocks: int = 4     # encoder='cgru_rim': conv-RIM blocks
+    rim_topk: int = 3
     flow_grid: int = 3
     extrapolate: bool = False
     data_points: int = 10000
@@ -103,14 +105,16 @@ class S3VAEModel(nn.Module):
                 head_type="prior", dtype=self.dtype,
                 param_dtype=self.param_dtype, name="prior_rnn")
         else:
+            rim_kw = dict(rim_num_blocks=self.rim_num_blocks,
+                          rim_topk=self.rim_topk)
             static_head = ConvGRUEncoderS3(
                 out_ch=self.d_zf, head_type="static", mode=self.encoder,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                name="static_rnn")
+                **rim_kw, name="static_rnn")
             dynamic_head = ConvGRUEncoderS3(
                 out_ch=self.d_zt, head_type="dynamic", mode=self.encoder,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                name="dynamic_rnn")
+                **rim_kw, name="dynamic_rnn")
             prior_head = ConvGRUEncoderS3(
                 out_ch=self.d_zt, head_type="prior", mode="cgru",
                 dtype=self.dtype, param_dtype=self.param_dtype,

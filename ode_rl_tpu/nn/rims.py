@@ -325,3 +325,181 @@ class RIM(nn.Module):
 def _rim_step(core, carry, x_t, train):
     h_new, mask = core(x_t, carry, train=train)
     return h_new, (h_new, mask)
+
+
+class BlockConvGRUCell(nn.Module):
+    """ConvGRU whose gate/candidate convs are channel-block-diagonal by
+    construction: K independent per-block conv-GRUs realized with grouped
+    convolutions (``feature_group_count=K``).
+
+    The reference's BlockCGRU is an empty stub
+    (/root/reference/modules/BlockGRU.py:45-50); this is the TPU-native
+    realization of the structure it names — the spatial analogue of
+    BlockGRU, where block-diagonality comes from the parameterization
+    (grouped conv) instead of in-place weight zeroing."""
+
+    nhid: int                 # total hidden channels (K blocks of nhid/K)
+    k: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+        assert self.nhid % self.k == 0
+        assert x.shape[-1] == h.shape[-1] == self.nhid, (
+            "per-block input must already be laid out as K channel blocks")
+        ks = (self.kernel_size, self.kernel_size)
+        conv = functools.partial(
+            nn.Conv, kernel_size=ks, padding="SAME",
+            feature_group_count=self.k,     # block-diagonal over channels
+            dtype=self.dtype, param_dtype=self.param_dtype)
+        # Gates read [x ‖ h] blockwise: interleave so each group sees its
+        # own block of x and h ((B,H,W,K,2·bs) → channel-major groups).
+        b, hh, ww, _ = x.shape
+        bs = self.nhid // self.k
+        xb = x.reshape(b, hh, ww, self.k, bs)
+        hb = h.reshape(b, hh, ww, self.k, bs)
+        xh = jnp.concatenate([xb, hb], axis=-1).reshape(
+            b, hh, ww, self.k * 2 * bs)
+        gates = conv(features=2 * self.nhid, name="gates")(xh)
+        r, z = jnp.split(gates.reshape(b, hh, ww, self.k, 2 * bs), 2, axis=-1)
+        r = jax.nn.sigmoid(r)
+        z = jax.nn.sigmoid(z)
+        xrh = jnp.concatenate([xb, r * hb], axis=-1).reshape(
+            b, hh, ww, self.k * 2 * bs)
+        n = jnp.tanh(conv(features=self.nhid, name="cand")(xrh)
+                     ).reshape(b, hh, ww, self.k, bs)
+        h_new = (1.0 - z) * n + z * hb
+        return h_new.reshape(b, hh, ww, self.nhid)
+
+
+class ConvBlocksCore(nn.Module):
+    """One conv-RIM layer step — the literal ConvBlocksCore the reference
+    sketches and abandons (/root/reference/modules/RIM_CGRU.py:48-62):
+    spatial block states, null-key input attention over pooled block
+    descriptors selecting the top-k active blocks, a BlockConvGRU update,
+    optional sparse inter-block communication, and masked state mixing
+    (inactive blocks keep their state), mirroring BlocksCore
+    (/root/reference/modules/BlocksCore.py:52-77) in the spatial domain."""
+
+    in_ch: int
+    n_hid: int                # total hidden channels
+    num_blocks_out: int
+    topkval: int
+    kernel_size: int = 3
+    sparse_comm: bool = False
+    num_modules_read_input: int = 2
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp: jnp.ndarray, hx: jnp.ndarray,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, hh, ww, _ = inp.shape
+        k = self.num_blocks_out
+        bs = self.n_hid // k
+        att_out = bs * 4
+
+        # Pooled descriptors: per-block spatial mean of the hidden as the
+        # query; [null ‖ pooled input] as keys/values (BlocksCore.py:40-44).
+        q = jnp.mean(hx, axis=(1, 2)).reshape(b, k, bs)
+        inp_desc = jnp.mean(inp, axis=(1, 2))[:, None, :]  # (B, 1, Cin)
+        inp_use = jnp.tile(inp_desc, (1, self.num_modules_read_input - 1, 1))
+        inp_use = jnp.concatenate(
+            [jnp.zeros_like(inp_use[:, :1]), inp_use], axis=1)
+
+        inp_att = BlockMultiHeadAttention(
+            n_head=1, d_model_read=bs, d_model_write=self.in_ch,
+            d_model_out=att_out, d_k=64, d_v=att_out,
+            num_blocks_read=k, num_blocks_write=self.num_modules_read_input,
+            topk=self.num_modules_read_input, residual=False,
+            skip_write=True, dropout=self.dropout, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="inp_att")
+        attended, iatt = inp_att(q, inp_use, inp_use, train=train)
+        iatt = iatt[:, 0]                              # (B, K, keys)
+
+        # Top-k active blocks: highest null-key attention → off.
+        null_attn = iatt[:, :, 0]
+        n_off = k - self.topkval
+        if n_off > 0:
+            kth = jnp.sort(null_attn, axis=-1)[:, -n_off][:, None]
+            mask_blocks = (null_attn < kth).astype(self.dtype)
+        else:
+            mask_blocks = jnp.ones_like(null_attn)
+        mask_blocks = jax.lax.stop_gradient(mask_blocks)  # (B, K)
+
+        # Spatial per-block input: shared conv lifts the frame to K blocks,
+        # FiLM-biased by each block's attended read vector.
+        x_blocks = nn.Conv(self.n_hid, (self.kernel_size, self.kernel_size),
+                           padding="SAME", dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="inp_proj")(inp)
+        film = GroupLinear(att_out, bs, k, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="att_film")(
+            attended.reshape(b, k, att_out))
+        x_blocks = x_blocks + film.reshape(b, 1, 1, self.n_hid)
+
+        hx_new = BlockConvGRUCell(
+            nhid=self.n_hid, k=k, kernel_size=self.kernel_size,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="block_cgru")(x_blocks, hx)
+
+        if self.sparse_comm:
+            # Communication over pooled block states, broadcast back as a
+            # per-block channel bias (BlocksCore.py:68-76 in the spatial
+            # domain).
+            comm = BlockMultiHeadAttention(
+                n_head=4, d_model_read=bs, d_model_write=bs,
+                d_model_out=bs, d_k=16, d_v=16,
+                num_blocks_read=k, num_blocks_write=k, topk=k,
+                residual=True, dropout=self.dropout, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="comm_att")
+            pooled = jnp.mean(hx_new, axis=(1, 2)).reshape(b, k, bs)
+            pooled = blocked_grad(
+                pooled, jnp.repeat(mask_blocks[..., None], bs, axis=-1))
+            delta, _ = comm(pooled, pooled, pooled, train=train)
+            hx_new = hx_new + delta.reshape(b, 1, 1, self.n_hid)
+
+        mask = jnp.repeat(mask_blocks, bs, axis=-1)[:, None, None, :]
+        hx_out = mask * hx_new + (1.0 - mask) * hx
+        return hx_out, mask_blocks
+
+
+class ConvRIM(nn.Module):
+    """Conv-RIM over a time axis — the working realization of the
+    reference's RIM_CGRU (/root/reference/modules/RIM_CGRU.py:10-45, a
+    broken skeleton: undefined ``self.bc_list``, empty forward).
+
+    Input (B, T, H, W, Cin) → (per-step states (B, T, H, W, n_hid),
+    final hidden, per-step active-block masks (B, T, K))."""
+
+    in_ch: int
+    n_hid: int
+    num_blocks: int
+    topk: int
+    kernel_size: int = 3
+    sparse_comm: bool = False
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
+                 train: bool = True):
+        b, t, hh, ww, _ = xs.shape
+        core = ConvBlocksCore(
+            in_ch=self.in_ch, n_hid=self.n_hid,
+            num_blocks_out=self.num_blocks, topkval=self.topk,
+            kernel_size=self.kernel_size, sparse_comm=self.sparse_comm,
+            dropout=self.dropout, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="core")
+        scan = nn.scan(
+            lambda mod, carry, x_t: _rim_step(mod, carry, x_t, train),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1, out_axes=1)
+        h_init = (h0 if h0 is not None
+                  else jnp.zeros((b, hh, ww, self.n_hid), self.dtype))
+        h_last, (hs, masks) = scan(core, h_init, xs)
+        return hs, h_last, masks

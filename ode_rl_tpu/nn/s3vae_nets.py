@@ -62,7 +62,7 @@ class FrameEncoder(nn.Module):
                 x = lrelu(bn(f"bn_{i}")(conv(f, k, s, p, f"conv_{i}")(x)))
             x = conv(self.out_dims, 4, 1, 0, "conv_out")(x)  # 4×4 → 1×1
             x = jnp.tanh(bn("bn_out")(x))
-        elif self.encoder_type in ("odecgru", "cgru"):
+        elif self.encoder_type in ("odecgru", "cgru", "cgru_rim"):
             plan = [(16, 4, 2, 1), (32, 4, 2, 1), (64, 4, 2, 1)]
             for i, (f, k, s, p) in enumerate(plan):
                 x = lrelu(bn(f"bn_{i}")(conv(f, k, s, p, f"conv_{i}")(x)))
@@ -183,7 +183,10 @@ class ConvGRUEncoderS3(nn.Module):
 
     out_ch: int
     head_type: str = "static"
-    mode: str = "cgru"              # cgru | cgru_sa | odecgru
+    mode: str = "cgru"              # cgru | cgru_sa | odecgru | cgru_rim
+    rim_num_blocks: int = 4         # cgru_rim: K competing conv blocks
+    rim_topk: int = 3               # cgru_rim: active blocks per step
+    rim_sparse_comm: bool = False
     ode_n_units: int = 64
     ode_method: str = "dopri5"
     rtol: float = 1e-4
@@ -229,16 +232,44 @@ class ConvGRUEncoderS3(nn.Module):
             logvar = logvar_net(flat).reshape(b, out_seq, h, w, -1)
             return mean, logvar
 
-        cell = ConvGRUCell(hidden_dim=self.out_ch, kernel_size=5,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="cgru_cell")
-        h0 = jnp.zeros((b, h, w, self.out_ch), self.dtype)
-        hiddens, hidden = convgru_scan(cell, h0, xs)
+        if self.mode == "cgru_rim":
+            # Conv-RIM recurrence: K independently-parameterized conv
+            # blocks competing for the frame via null-key attention — the
+            # working realization of the reference's RIM_CGRU skeleton
+            # (/root/reference/modules/RIM_CGRU.py:10-62).
+            from ode_rl_tpu.nn.rims import ConvRIM
+            rim = ConvRIM(in_ch=c, n_hid=self.out_ch,
+                          num_blocks=self.rim_num_blocks,
+                          topk=self.rim_topk,
+                          sparse_comm=self.rim_sparse_comm,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="cgru_rim")
+            hiddens, hidden, _ = rim(xs, train=train)
+        else:
+            cell = ConvGRUCell(hidden_dim=self.out_ch, kernel_size=5,
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="cgru_cell")
+            h0 = jnp.zeros((b, h, w, self.out_ch), self.dtype)
+            hiddens, hidden = convgru_scan(cell, h0, xs)
 
         if self.head_type == "static":
             return mean_net(hidden), logvar_net(hidden)
 
-        if self.head_type == "dynamic":
+        if self.head_type == "dynamic" and self.mode == "cgru_rim":
+            # Free-run rollout with ones input (the reference's free-run
+            # convention, S3VAE_ED.py GRUEncoder dynamic path).
+            from ode_rl_tpu.nn.rims import ConvRIM
+            dyn_rim = ConvRIM(in_ch=c, n_hid=self.out_ch,
+                              num_blocks=self.rim_num_blocks,
+                              topk=self.rim_topk,
+                              sparse_comm=self.rim_sparse_comm,
+                              dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="dynamic_rim")
+            ones = jnp.ones((b, out_seq, h, w, c), self.dtype)
+            hiddens, _, _ = dyn_rim(ones, h0=hidden, train=train)
+        elif self.head_type == "dynamic":
             dyn_cell = ConvGRUCell(hidden_dim=self.out_ch, kernel_size=5,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
@@ -282,7 +313,7 @@ class FrameDecoder(nn.Module):
             for i, f in enumerate(plan):
                 x = up2(x)
                 x = jax.nn.relu(bn(f"bn_{i}")(conv(f, 3, f"conv_{i}")(x)))
-        elif self.encoder_type in ("odecgru", "cgru"):
+        elif self.encoder_type in ("odecgru", "cgru", "cgru_rim"):
             x = jax.nn.relu(bn("bn_in")(conv(256, 3, "conv_in")(x)))
             plan = [256, 128, 128, 64]
             for i, f in enumerate(plan):

@@ -125,6 +125,46 @@ def test_checked_odeint_clean_path():
     assert ys.shape == (3, 2)
 
 
+# ----------------------- run plotting vs baselines -------------------------
+
+def test_plot_runs_against_baseline_curves(tmp_path):
+    """plot_runs aggregates metrics.jsonl runs and overlays baseline score
+    records in the reference's schema (dreamerv2/scores/*.json,
+    plotting.py bin/aggregate pipeline)."""
+    import json
+
+    for seed in (0, 1):
+        run = tmp_path / "logs" / "ODEConv" / f"exp_seed{seed}"
+        run.mkdir(parents=True)
+        rows = [{"step": s, "loss": 1.0 / (s + 1) + 0.1 * seed}
+                for s in range(0, 100, 10)]
+        (run / "metrics.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+    scores = [{"task": "ODEConv", "method": "published", "seed": str(s),
+               "xs": list(range(0, 100, 10)),
+               "ys": [0.5 / (x + 1) for x in range(0, 100, 10)]}
+              for s in (0, 1)]
+    score_file = tmp_path / "published.json"
+    score_file.write_text(json.dumps(scores))
+    out = tmp_path / "cmp.png"
+    subprocess.run(
+        [sys.executable, "scripts/plot_runs.py", "--logs",
+         str(tmp_path / "logs"), "--metric", "loss", "--baselines",
+         str(score_file), "--bins", "5", "--out", str(out)],
+        check=True, capture_output=True)
+    assert out.exists() and out.stat().st_size > 1000
+
+    # unit-level: seeds aggregate into one (task, method) curve with std
+    sys.path.insert(0, "scripts")
+    import plot_runs as pr
+    records = pr.load_run_records(tmp_path / "logs", "loss")
+    records += pr.load_baseline_records([score_file])
+    curves = pr.aggregate(records, bins=5)
+    assert ("ODEConv", "exp") in curves and ("ODEConv", "published") in curves
+    _, mean, std = curves[("ODEConv", "exp")]
+    assert np.isfinite(mean).all() and (std > 0).any()  # 2 seeds differ
+
+
 # ------------------------------- profiler ----------------------------------
 
 def test_tracker_api():

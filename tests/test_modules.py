@@ -111,6 +111,58 @@ def test_rim_stack_over_time():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_block_conv_gru_is_block_diagonal():
+    """The grouped-conv GRU keeps channel blocks independent: block 0's
+    output has zero gradient w.r.t. block 1's input channels."""
+    from ode_rl_tpu.nn.rims import BlockConvGRUCell
+
+    cell = BlockConvGRUCell(nhid=8, k=2, kernel_size=3)
+    x = jax.random.normal(jax.random.key(0), (1, 4, 4, 8))
+    h = jax.random.normal(jax.random.key(1), (1, 4, 4, 8))
+    params = cell.init(jax.random.key(2), x, h)
+
+    def block0_out(x_in):
+        return jnp.sum(cell.apply(params, x_in, h)[..., :4])
+
+    g = jax.grad(block0_out)(x)
+    assert float(jnp.abs(g[..., 4:]).max()) == 0.0
+    assert float(jnp.abs(g[..., :4]).max()) > 0.0
+
+
+def test_conv_blocks_core_topk_mask_and_state_keep():
+    from ode_rl_tpu.nn.rims import ConvBlocksCore
+
+    core = ConvBlocksCore(in_ch=6, n_hid=16, num_blocks_out=4, topkval=2)
+    inp = jax.random.normal(jax.random.key(0), (3, 8, 8, 6))
+    hx = jax.random.normal(jax.random.key(1), (3, 8, 8, 16))
+    variables = core.init(
+        {"params": jax.random.key(2), "dropout": jax.random.key(3)},
+        inp, hx, train=False)
+    h_new, mask_blocks = core.apply(variables, inp, hx, train=False)
+    assert h_new.shape == (3, 8, 8, 16)
+    assert (np.asarray(mask_blocks).sum(-1) == 2).all()
+    # inactive blocks keep their spatial state exactly
+    m = np.repeat(np.asarray(mask_blocks), 4, axis=-1)[:, None, None, :]
+    inactive = np.broadcast_to(m == 0, h_new.shape)
+    np.testing.assert_allclose(np.asarray(h_new)[inactive],
+                               np.asarray(hx)[inactive])
+
+
+def test_conv_rim_over_time():
+    from ode_rl_tpu.nn.rims import ConvRIM
+
+    rim = ConvRIM(in_ch=4, n_hid=16, num_blocks=4, topk=2, sparse_comm=True)
+    xs = jax.random.normal(jax.random.key(0), (2, 5, 8, 8, 4))
+    variables = rim.init(
+        {"params": jax.random.key(1), "dropout": jax.random.key(2)},
+        xs, train=False)
+    hs, h_last, masks = rim.apply(variables, xs, train=False)
+    assert hs.shape == (2, 5, 8, 8, 16)
+    assert h_last.shape == (2, 8, 8, 16)
+    assert masks.shape == (2, 5, 4)
+    assert np.isfinite(np.asarray(hs)).all()
+
+
 # --------------------------------- C3D -------------------------------------
 
 def test_c3d_encoder_default_shapes():

@@ -42,6 +42,8 @@ S3_VARIANTS = [
     ("rim", dict(rim=True, n_hid=300, unit_per_rim=100)),
     ("cgru", dict(encoder="cgru", d_zf=16, d_zt=8)),
     ("odecgru", dict(encoder="odecgru", d_zf=16, d_zt=8)),
+    ("cgru_rim", dict(encoder="cgru_rim", d_zf=16, d_zt=8,
+                      rim_num_blocks=4, rim_topk=2)),
 ]
 
 
