@@ -6,12 +6,13 @@ stride-2) → backward ODE-ConvGRU z0 inference (mu, std; z0 = mu, the
 z_sample branch is dead in the reference) → a Neural-ODE decode of the
 latent trajectory over ``tp_to_predict`` → conv decoder + sigmoid; MSE.
 
-The ``mem=True`` variant performs stepwise residual integration
-(h_{i+1} = h_i + solve(h_i, [t_i, t_{i+1}])), the *intended* semantics of
-the reference's memory mode (/root/reference/modules/DiffEqSolver.py:30-42;
-the reference passes a single-element time tensor there, which degenerates
-to h_next = 2·h_prev — we implement the documented residual-integration
-behavior instead).
+The ``mem=True`` variant performs stepwise integration
+(h_{i+1} = solve(h_i, [t_i, t_{i+1}]), each interval's adaptive solve
+bounded separately) — the long-horizon intent of the reference's memory
+mode (/root/reference/modules/DiffEqSolver.py:30-42; the reference
+passes a single-element time tensor there, so torchdiffeq returns y0 and
+its residual accumulation degenerates to h_next = 2·h_prev — see the
+mem branch below for the full analysis).
 
 TPU-first: the adaptive dopri5 decode runs as a bounded on-device scan
 (ode/solvers.py) inside the same XLA program as the conv stacks; NFE and
@@ -111,12 +112,22 @@ class ODEConvGRUModel(nn.Module):
         z0 = z0.astype(jnp.float32)
 
         if self.mem:
-            # Residual stepwise integration: one short adaptive solve per
-            # interval, accumulated onto the running state. One lax.scan
-            # over the output grid — the per-interval solve traces ONCE, so
-            # a 10→190 eval compiles the same program as 10→10 (the
-            # Python-unrolled alternative is a compile-time bomb at the
-            # reference's long eval horizons, configs.yaml:583-585).
+            # Memory mode = stepwise integration: one short adaptive solve
+            # per interval, each bounded to max_steps//8, restarting from
+            # the previous state — the long-horizon rationale of the
+            # reference's memory/nru modes (bound each solve to one
+            # interval instead of one long adaptive solve). The reference's
+            # literal code is degenerate: it hands odeint a SINGLE-element
+            # time grid (DiffEqSolver.py:36, time_steps_to_predict[i:i+1]),
+            # so torchdiffeq returns y0 and `h_next = h_prev + pred`
+            # doubles the state every frame (2^T blowup — training NaNs);
+            # accumulating h_prev + y(t_next) is exponentially unstable the
+            # same way, so the stable stepwise form h_next = y(t_next) is
+            # what runs here. One lax.scan over the output grid — the
+            # per-interval solve traces ONCE, so a 10→190 eval compiles the
+            # same program as 10→10 (the Python-unrolled alternative is a
+            # compile-time bomb at the reference's long eval horizons,
+            # configs.yaml:583-585).
             t_grid = jnp.concatenate([observed_tp[-1:], tp_to_predict])
             t_pairs = jnp.stack([t_grid[:-1], t_grid[1:]], axis=1)  # (T, 2)
 
@@ -125,8 +136,7 @@ class ODEConvGRUModel(nn.Module):
                     f, h_prev, seg, method=self.method,
                     rtol=self.rtol, atol=self.atol,
                     max_steps=max(self.ode_max_steps // 8, 8))
-                h_next = h_prev + jax.tree_util.tree_map(
-                    lambda a: a[-1], ys)
+                h_next = jax.tree_util.tree_map(lambda a: a[-1], ys)
                 return h_next, (h_next, stats.nfe)
 
             _, (ys_scan, nfes) = jax.lax.scan(step, z0, t_pairs)

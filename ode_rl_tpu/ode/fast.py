@@ -67,7 +67,10 @@ def _build(func, rtol: float, atol: float, max_steps: int):
         n_out = ts.shape[0]
         t0, t_end = ts[0], ts[-1]
         f0 = g(t0, y0)
-        dt0 = _initial_step(g, t0, y0, f0, rtol, atol)
+        # Clamp the opening step to the span (the HNW heuristic knows
+        # nothing about t_end) — mirrors ode/solvers.py.
+        dt0 = jnp.minimum(_initial_step(g, t0, y0, f0, rtol, atol),
+                          t_end - t0)
 
         ys0 = jax.tree_util.tree_map(
             lambda y: jnp.zeros((n_out,) + y.shape, y.dtype).at[0].set(y),
@@ -135,6 +138,16 @@ def _build(func, rtol: float, atol: float, max_steps: int):
                 nrej=s["nrej"] + (~accept).astype(jnp.int32))
 
         out = jax.lax.while_loop(cond, body, state)
+        # Budget exhaustion: hand unreached output slots the final carried
+        # state instead of their zero initialization (mirrors
+        # ode/solvers.py — a truncated trajectory decodes to the last
+        # reached frame, not to zeros).
+        unreached = ts > out["t"] + 1e-12
+        out["ys"] = jax.tree_util.tree_map(
+            lambda buf, yf: jnp.where(
+                unreached.reshape((-1,) + (1,) * (buf.ndim - 1)),
+                yf.astype(buf.dtype)[None], buf),
+            out["ys"], out["y"])
         stats = ODEStats(nfe=out["nfe"], naccept=out["n"],
                          nreject=out["nrej"],
                          converged=out["t"] >= t_end - 1e-10)

@@ -162,6 +162,10 @@ def _dopri5(func, y0, ts, rtol, atol, max_steps, first_step, remat):
         nfe0 = nfe0 + 2
     else:
         dt0 = jnp.asarray(first_step, jnp.float32)
+    # Never open with a step beyond the integration span (the HNW
+    # heuristic knows nothing about t_end), and keep dt0 out of the
+    # gradient graph like the in-loop controller.
+    dt0 = jax.lax.stop_gradient(jnp.minimum(dt0, t_end - t0))
 
     # Output buffer; slot 0 is y0 by definition of the IVP.
     ys0 = jax.tree_util.tree_map(
@@ -171,8 +175,17 @@ def _dopri5(func, y0, ts, rtol, atol, max_steps, first_step, remat):
         t, y, f, dt, ys, nfe, nacc, nrej = carry
         dt_used = jnp.minimum(dt, t_end - t)
         dt_used = jnp.maximum(dt_used, 1e-12)
+        # The controller is CONTROL FLOW, not a differentiable quantity:
+        # step sizes/times carry no gradient (the loss depends on dt only
+        # through which discrete steps were taken — same semantics as
+        # torchdiffeq's backprop-through-accepted-steps). Differentiating
+        # the dt←error-norm chain couples every step to every parameter
+        # through clip/power/min ops whose partial derivatives blow up at
+        # the clamp boundaries (ratio→0 gives d/dx x^{-1/5} → −∞; a 0·∞
+        # from the untaken jnp.where branch then NaNs the whole backward).
+        dt_used = jax.lax.stop_gradient(dt_used)
         y1, f7, err, y_mid = _dopri5_step(func, t, y, f, dt_used)
-        ratio = _error_ratio(err, y, y1, rtol, atol)
+        ratio = jax.lax.stop_gradient(_error_ratio(err, y, y1, rtol, atol))
         accept = ratio <= 1.0
 
         # Dense-output fill for requested times inside the accepted span.
@@ -195,8 +208,9 @@ def _dopri5(func, y0, ts, rtol, atol, max_steps, first_step, remat):
         factor = jnp.where(
             ratio <= 1e-10,
             _IFACTOR,
-            jnp.clip(_SAFETY * ratio ** (-1.0 / _ORDER), _DFACTOR, _IFACTOR),
-        )
+            jnp.clip(_SAFETY * jnp.maximum(ratio, 1e-10) ** (-1.0 / _ORDER),
+                     _DFACTOR, _IFACTOR),  # max() keeps the untaken branch
+        )                                  # finite (0^-0.2 = inf)
         factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
         dt_next = dt_used * factor
 
@@ -224,8 +238,19 @@ def _dopri5(func, y0, ts, rtol, atol, max_steps, first_step, remat):
         body = jax.checkpoint(body)
     zero = jnp.asarray(0, jnp.int32)
     carry0 = (t0, y0, f0, dt0, ys0, nfe0, zero, zero)
-    (t_f, _, _, _, ys, nfe, nacc, nrej), _ = jax.lax.scan(
+    (t_f, y_f, _, _, ys, nfe, nacc, nrej), _ = jax.lax.scan(
         body, carry0, None, length=max_steps)
+    # Graceful degradation on budget exhaustion: output slots the solve
+    # never reached hold their zero initialization — hand those the final
+    # carried state instead, so a truncated trajectory decodes to the
+    # last reached frame rather than to zeros (and its gradient routes to
+    # the real state, not to nothing).
+    unreached = ts > t_f + 1e-12
+    ys = jax.tree_util.tree_map(
+        lambda buf, yf: jnp.where(
+            unreached.reshape((-1,) + (1,) * (buf.ndim - 1)),
+            yf.astype(buf.dtype)[None], buf),
+        ys, y_f)
     stats = ODEStats(nfe=nfe, naccept=nacc, nreject=nrej,
                      converged=t_f >= t_end - 1e-10)
     return ys, stats
