@@ -87,6 +87,29 @@ class ConvDecoder(nn.Module):
         return x
 
 
+class Conv3x3(nn.Module):
+    """3×3 stride-1 SAME conv with nn.Conv-identical parameters
+    ('kernel' HWIO lecun-normal, 'bias' zeros — checkpoints interchange
+    freely), dispatching to the VMEM implicit-im2col Pallas kernel on
+    TPU bf16 shapes and to XLA otherwise (ops/conv3x3.py)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ode_rl_tpu.ops.conv3x3 import conv3x3_same
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        x = x.astype(self.dtype)
+        return conv3x3_same(x, kernel.astype(self.dtype),
+                            bias.astype(self.dtype))
+
+
 class ConvNet(nn.Module):
     """3×3 stride-1 conv tower: in → units ×(n_layers) → out.
 
@@ -104,9 +127,9 @@ class ConvNet(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         act = _act(self.activation)
-        conv = lambda feats, name: nn.Conv(
-            feats, (3, 3), padding=1,
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        conv = lambda feats, name: Conv3x3(
+            feats, dtype=self.dtype, param_dtype=self.param_dtype,
+            name=name)
         x = conv(self.n_units, "in")(y)
         for i in range(self.n_layers):
             x = conv(self.n_units, f"mid_{i}")(act(x))

@@ -111,6 +111,31 @@ def test_max_steps_exhaustion_reports_nonconverged():
     assert not bool(stats.converged)
 
 
+def test_zero_error_field_has_finite_gradients():
+    """Regression: a field with ~zero local error drives the controller's
+    error ratio to 0, where the untaken jnp.where branch ratio**(-1/5)
+    has an infinite derivative — gradients through the solve must stay
+    finite (the controller is control flow, not a differentiable path)."""
+    def loss(scale):
+        # f ≡ scale · 0 — exactly representable, err = 0 every step.
+        ys, _ = odeint_aux(lambda t, y: scale * jnp.zeros_like(y),
+                           jnp.ones(4), jnp.linspace(0.0, 1.0, 5))
+        return jnp.sum(ys) + scale
+
+    g = jax.grad(loss)(jnp.array(1.0))
+    assert np.isfinite(float(g))
+
+
+def test_exhausted_solve_emits_last_state_not_zeros():
+    """Budget-exhausted solves fill unreached output slots with the final
+    carried state (graceful truncation) instead of zero initialization."""
+    ys, stats = odeint_aux(lambda t, y: y * y, jnp.array(0.5),
+                           jnp.linspace(0.0, 1.0, 6), method="dopri5",
+                           rtol=1e-10, atol=1e-12, max_steps=3)
+    assert not bool(stats.converged)
+    assert float(ys[-1]) > 0.0  # last reached state, not the zero init
+
+
 def test_jit_and_vmap_compose():
     f = lambda t, y: -y
 

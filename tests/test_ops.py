@@ -233,3 +233,44 @@ def test_fused_gates_gradient():
         gates_raw, h, scale, bias)
     for a, b in zip(g_int, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+# ------------------------------ conv3x3 ------------------------------------
+
+def test_conv3x3_module_params_interchange_with_nn_conv():
+    """Conv3x3 defines the same param tree ('kernel' HWIO + 'bias') as
+    nn.Conv, so checkpoints interchange freely, and its default (XLA)
+    path computes the identical conv."""
+    import flax.linen as nn
+    from ode_rl_tpu.nn.conv_stacks import Conv3x3
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    ours = Conv3x3(features=6)
+    ref = nn.Conv(6, (3, 3), padding=1)
+    p_ours = ours.init(jax.random.key(1), x)
+    p_ref = ref.init(jax.random.key(1), x)
+    assert (jax.tree_util.tree_structure(p_ours)
+            == jax.tree_util.tree_structure(p_ref))
+    # swap params across implementations: outputs must agree
+    np.testing.assert_allclose(
+        np.asarray(ours.apply(p_ref, x)), np.asarray(ref.apply(p_ref, x)),
+        atol=1e-5)
+
+
+def test_conv3x3_same_matches_lax_conv_and_grads():
+    from ode_rl_tpu.ops.conv3x3 import conv3x3_same
+
+    x = jax.random.normal(jax.random.key(0), (2, 6, 6, 4))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 4, 8)) * 0.1
+    b = jax.random.normal(jax.random.key(2), (8,))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(np.asarray(conv3x3_same(x, w, b)),
+                               np.asarray(ref), atol=1e-5)
+
+    g = jax.grad(lambda xx: jnp.sum(conv3x3_same(xx, w, b) ** 2))(x)
+    gr = jax.grad(lambda xx: jnp.sum((jax.lax.conv_general_dilated(
+        xx, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
