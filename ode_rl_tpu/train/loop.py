@@ -192,7 +192,6 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     if fused:
         # One dispatch per step: generator + step in a single XLA program.
         from ode_rl_tpu.data.sprites import get_sprite_bank
-        import jax.numpy as jnp
         bank = jnp.asarray(get_sprite_bank(cfg.get("data_dir")))
         fused_step = make_fused_train_step(model, cfg, bank, mesh=mesh,
                                            flow_label_fn=flow_label_fn)

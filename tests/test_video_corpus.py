@@ -119,3 +119,25 @@ def test_kth_vidode_trains_end_to_end(corpora, tmp_path):
     result = train(cfg)
     assert result["final_step"] == 2
     assert np.isfinite(result["loss"])
+
+
+def test_frozen_train_auto_resumes(corpora, tmp_path):
+    """Auto-resume on the frozen-data (non-fused) path: rerunning the
+    same config continues from the saved step. Regression for a local
+    jnp import in the fused branch shadowing the module import and
+    crashing the non-fused resume (UnboundLocalError)."""
+    from ode_rl_tpu.core.config import load_config
+    from ode_rl_tpu.train.loop import train
+
+    cfg = load_config(["defaults", "train_kth_vidode"],
+                      config_path=REPO / "configs.yaml")
+    cfg = cfg.replace(
+        data_dir=str(corpora / "kth"), logdir=str(tmp_path),
+        epochs=1, steps_per_epoch=2, batch_size=2, quiet=True,
+        window_size=8, train_seq=8, train_in_seq=4, train_out_seq=4,
+        n_layers=1, ode_max_steps=16, decode_diff_method="euler",
+        loss_log_freq=1, ckpt_save_freq=2)
+    assert train(cfg)["final_step"] == 2
+    cfg2 = cfg.replace(epochs=2)
+    result = train(cfg2)          # resumes at 2, trains to 4
+    assert result["final_step"] == 4
