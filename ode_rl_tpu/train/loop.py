@@ -274,8 +274,13 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                                  "model_state": state.model_state,
                                  "opt_state": state.opt_state},
                           config=cfg.to_dict())
-        logger.log_epoch(epoch, float(np.mean(epoch_losses)) if epoch_losses
-                         else float("nan"), step, total_steps)
+        # Epochs with no logged step (log_freq > steps/epoch, or the
+        # step cap already reached) fall back to the last fetched loss.
+        epoch_loss = (float(np.mean(epoch_losses)) if epoch_losses
+                      else last_metrics.get("loss", float("nan")))
+        logger.log_epoch(epoch, epoch_loss, step, total_steps)
+        if step >= total_steps:
+            break
     ckpt.save(max(step, 1), {"params": state.params,
                              "model_state": state.model_state,
                              "opt_state": state.opt_state},
