@@ -31,12 +31,13 @@ class ConvGRUCell(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    # Profile-driven default (SURVEY §7 hard-part #4): with the fused
-    # Pallas gate kernels the ODEConvGRU train step measured 46k
-    # frames/s/chip on v5e vs 179k with plain XLA — the kernel boundary
-    # between the two gate convs blocks XLA's conv-epilogue fusion, and
-    # the per-sample grid serializes the batch. XLA therefore stays the
-    # default; "auto"/"interpret" select the Pallas path (ops/gru_gates).
+    # Profile-driven default (SURVEY §7 hard-part #4): the fused Pallas
+    # gate kernels LOSE to plain XLA — re-measured round 2 with
+    # dispatch-artifact-free differential timing: 478 µs vs 366 µs per
+    # ConvGRU step at (128,16,16,64) on v5e (1.31× slower; the kernel
+    # boundary between the two gate convs blocks XLA's conv-epilogue
+    # fusion). XLA therefore stays the default; "auto"/"interpret"
+    # select the Pallas path (ops/gru_gates).
     gate_impl: str = "xla"
 
     @nn.compact

@@ -16,6 +16,13 @@ in fp32 inside the kernel. The XLA path is the numerics reference; XLA
 already fuses most of this, so the kernels are profile-gated (the
 ConvGRUCell uses them only when ops.common.use_pallas() is true and the
 feature map fits VMEM).
+
+Round-2 re-measurement (differential chained timing — immune to the
+dispatch artifacts that skewed round-1 numbers; see
+scripts/profile_step.py): full ConvGRU step at (128,16,16,64) bf16 on
+v5e is 366 µs with XLA gates vs 478 µs with these kernels (1.31×
+slower) — same conclusion as ops/conv3x3.py: XLA's fusion wins on these
+shapes, so the Pallas path stays default-off with its numbers recorded.
 """
 
 from __future__ import annotations
