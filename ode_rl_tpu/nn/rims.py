@@ -64,6 +64,24 @@ def sparse_topk_renorm(attn: jnp.ndarray, top_k: int) -> jnp.ndarray:
     return w / (jnp.sum(w, axis=-1, keepdims=True) + eps)
 
 
+def topk_active_mask(null_attn: jnp.ndarray, topkval: int,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Tie-safe active-block mask: exactly ``topkval`` ones per row,
+    picking the blocks with the LOWEST null-key attention.
+
+    A strict threshold comparison (``null_attn < kth``) deactivates every
+    block tied with the k-th value, which under bf16 compute or a
+    saturated softmax can leave fewer than topkval blocks active;
+    lax.top_k breaks ties by index instead. null_attn: (B, K)."""
+    b, k = null_attn.shape
+    if topkval >= k:
+        return jnp.ones_like(null_attn, dtype)
+    _, active_idx = jax.lax.top_k(-null_attn.astype(jnp.float32), topkval)
+    mask = jnp.zeros((b, k), dtype).at[
+        jnp.arange(b)[:, None], active_idx].set(1.0)
+    return mask
+
+
 class GroupLinear(nn.Module):
     """Per-block linear map: (B, K, din) → (B, K, dout) with (K, din,
     dout) weights (reference GroupLinearLayer)."""
@@ -229,12 +247,7 @@ class BlocksCore(nn.Module):
         # Active-block mask: blocks attending most to the NULL key are
         # switched off (keep topkval active).
         null_attn = iatt[:, :, 0]                       # (B, num_blocks_out)
-        n_off = self.num_blocks_out - self.topkval
-        if n_off > 0:
-            kth = jnp.sort(null_attn, axis=-1)[:, -n_off][:, None]
-            mask_blocks = (null_attn < kth).astype(self.dtype)
-        else:
-            mask_blocks = jnp.ones_like(null_attn)
+        mask_blocks = topk_active_mask(null_attn, self.topkval, self.dtype)
         mask = jnp.repeat(mask_blocks, bs_out, axis=-1)  # (B, n_hid)
         mask = jax.lax.stop_gradient(mask)
 
@@ -422,12 +435,7 @@ class ConvBlocksCore(nn.Module):
 
         # Top-k active blocks: highest null-key attention → off.
         null_attn = iatt[:, :, 0]
-        n_off = k - self.topkval
-        if n_off > 0:
-            kth = jnp.sort(null_attn, axis=-1)[:, -n_off][:, None]
-            mask_blocks = (null_attn < kth).astype(self.dtype)
-        else:
-            mask_blocks = jnp.ones_like(null_attn)
+        mask_blocks = topk_active_mask(null_attn, self.topkval, self.dtype)
         mask_blocks = jax.lax.stop_gradient(mask_blocks)  # (B, K)
 
         # Spatial per-block input: shared conv lifts the frame to K blocks,

@@ -169,8 +169,22 @@ def _build(func, rtol: float, atol: float, max_steps: int):
 
         ct_p0 = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p, jnp.float32), params)
+        # Budget exhaustion: the forward assigned the final carried state
+        # to every unreached output slot, so those slots' cotangents flow
+        # into the final state — seed ct_y_end with their masked sum
+        # (matches the AD-differentiated jnp.where in ode/solvers.py;
+        # without this, truncated frames silently got zero gradient).
+        # Recompute t_final from the saved accepted-step history.
+        last = jnp.maximum(n - 1, 0)
+        t_final = jnp.where(n > 0, t_hist[last] + dt_hist[last], ts[0])
+        unreached = ts > t_final + 1e-12
         ct_y_end = jax.tree_util.tree_map(
-            lambda y: jnp.zeros_like(y, jnp.float32), y0)
+            lambda c: jnp.sum(
+                jnp.where(
+                    unreached.reshape((-1,) + (1,) * (c.ndim - 1)),
+                    c.astype(jnp.float32), 0.0),
+                axis=0),
+            ct_ys)
 
         def cond(carry):
             return carry[0] > 0

@@ -75,7 +75,10 @@ def eligible(x: jnp.ndarray, kernel: jnp.ndarray) -> bool:
     cout = kernel.shape[3]
     if cin % 8 or cout % 8 or h < 3 or w < 3:
         return False
-    return _tile_b(b, h, w, cin, 2) > 0
+    # The backward's dx pass runs _pallas_fwd on the cotangent, whose
+    # channel count is cout — both tile plans must fit VMEM, else the
+    # grid computation divides by zero at trace time.
+    return _tile_b(b, h, w, cin, 2) > 0 and _tile_b(b, h, w, cout, 2) > 0
 
 
 def _fwd_kernel(xp_ref, w_ref, out_ref, *, tb, h, w, cin, cout):

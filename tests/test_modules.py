@@ -55,6 +55,26 @@ def test_sparse_topk_passthrough_when_small():
     np.testing.assert_allclose(np.asarray(out), np.asarray(attn))
 
 
+def test_topk_active_mask_tie_safe():
+    """Ties at the k-th null-attention value (possible under bf16 or a
+    saturated softmax) must still yield exactly topkval active blocks —
+    a strict threshold would deactivate every tied block."""
+    from ode_rl_tpu.nn.rims import topk_active_mask
+    # All-equal row (fully saturated), plus a tie exactly at the cutoff.
+    null_attn = jnp.array([
+        [0.25, 0.25, 0.25, 0.25],
+        [0.1, 0.2, 0.2, 0.5],
+    ])
+    mask = topk_active_mask(null_attn, topkval=2)
+    assert mask.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(mask.sum(-1)), [2.0, 2.0])
+    # Lowest null-attention block is always kept.
+    assert float(mask[1, 0]) == 1.0 and float(mask[1, 3]) == 0.0
+    # topkval >= K passes everything through.
+    np.testing.assert_array_equal(
+        np.asarray(topk_active_mask(null_attn, topkval=4)), np.ones((2, 4)))
+
+
 def test_blocked_grad():
     x = jnp.ones((2, 4))
     mask = jnp.array([[1.0, 1.0, 0.0, 0.0]] * 2)

@@ -195,6 +195,45 @@ def test_fast_adjoint_matches_scan_solver():
     np.testing.assert_allclose(float(gf[1]), float(gr[1]), rtol=1e-5)
 
 
+def test_fast_adjoint_truncated_solve_grad_matches_scan():
+    """Budget-exhausted solves: the forward hands unreached output slots
+    the final carried state, so those slots' cotangents must flow into
+    the state gradient. Regression for the round-2 bug where the fast
+    path's ct_y_end stayed zero and truncated frames silently got zero
+    gradient (diverging from the AD-differentiated scan solver)."""
+    from ode_rl_tpu.ode.fast import odeint_fast
+
+    func = lambda t, y, p: p * y * y
+    ts = jnp.linspace(0.0, 1.0, 6)
+    y0 = jnp.array([0.4, 0.6])
+    a = jnp.array(1.0)
+    # Tight tolerance + tiny budget forces truncation mid-span.
+    kw = dict(rtol=1e-10, atol=1e-12, max_steps=3)
+
+    _, stats = odeint_fast(func, y0, ts, a, **kw)
+    assert not bool(stats.converged)
+
+    # Weight ONLY the tail slots so the whole gradient rides the
+    # unreached-slot path.
+    w = (jnp.arange(6) >= 3).astype(jnp.float32)[:, None]
+
+    def loss_fast(y0, p):
+        ys, _ = odeint_fast(func, y0, ts, p, **kw)
+        return jnp.sum(ys * w)
+
+    def loss_ref(y0, p):
+        ys = odeint(lambda t, y: func(t, y, p), y0, ts, **kw)
+        return jnp.sum(ys * w)
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(y0, a)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(y0, a)
+    assert float(jnp.abs(gf[0]).sum()) > 0  # not silently zero
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(gf[1]), float(gr[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fast_adjoint_pytree_params():
     from ode_rl_tpu.ode.fast import odeint_fast
 
