@@ -49,6 +49,54 @@ def _normal_logprob(mu, std, x):
     return -0.5 * (jnp.log(2.0 * jnp.pi * var) + (x - mu) ** 2 / var)
 
 
+# --- pure loss-term functions (parity-tested against the reference's own
+# --- source in tests/test_reference_parity.py) ----------------------------
+
+def scc_triplet_loss(anchor, pos, neg, margin: float) -> jnp.ndarray:
+    """SCC triplet with torch.nn.TripletMarginLoss semantics (the
+    reference's, S3VAE.py:51,365-379): pairwise L2 along torch's LAST
+    tensor axis with the +1e-6 eps added to the difference, hinge with
+    the margin, mean over every remaining dim.
+
+    For torch NCHW conv features the last axis is W; in our NHWC layout
+    that is axis -2 (so ndim ≥ 4 → -2). Note this is row-wise distance,
+    NOT a global per-sample norm — torch's pairwise_distance reduces only
+    the final axis, and the reference feeds it 4D/5D conv features."""
+    axis = -2 if anchor.ndim >= 4 else -1
+    dist = lambda a, b: jnp.sqrt(
+        jnp.sum(jnp.square(a - b + 1e-6), axis=axis))
+    d_pos = dist(anchor, pos)
+    d_neg = dist(anchor, neg)
+    return jnp.mean(jnp.maximum(d_pos - d_neg + margin, 0.0))
+
+
+def dfp_bce_loss(logits, labels) -> jnp.ndarray:
+    """DFP motion-grid BCE (reference S3VAE.py:381-389:
+    F.binary_cross_entropy(sigmoid(logits), labels))."""
+    p = jax.nn.sigmoid(logits)
+    return -jnp.mean(labels * jnp.log(p + 1e-7)
+                     + (1 - labels) * jnp.log(1 - p + 1e-7))
+
+
+def mi_estimate(mu_t, std_t, zt_s, mu_f, std_f, zf_s,
+                log_nm) -> jnp.ndarray:
+    """Minibatch-weighted logsumexp estimate of I(z_f; z_t) (reference
+    S3VAE.py:391-449). Inputs are time-first dynamic stats (T, B, …),
+    static stats (B, …), and the SAMPLES to evaluate (so tests can drive
+    it with controlled samples); log_nm = log(N·M)."""
+    log_q_t = _normal_logprob(mu_t[:, None], std_t[:, None], zt_s[:, :, None])
+    log_q_t = jnp.sum(log_q_t, axis=tuple(range(3, log_q_t.ndim)))  # (T,B,B)
+
+    log_q_f = _normal_logprob(mu_f[None], std_f[None], zf_s[:, None])
+    log_q_f = jnp.sum(log_q_f, axis=tuple(range(2, log_q_f.ndim)))  # (B,B)
+    log_q_f = jnp.broadcast_to(log_q_f[None], log_q_t.shape)
+
+    h_t = -jax.nn.logsumexp(log_q_t - log_nm, axis=2)    # (T, B)
+    h_f = -jax.nn.logsumexp(log_q_f - log_nm, axis=2)
+    h_ft = -jax.nn.logsumexp(log_q_t + log_q_f - log_nm, axis=2)
+    return jnp.mean(jax.nn.relu(-h_ft + h_f + h_t))
+
+
 class S3VAEModel(nn.Module):
     in_channels: int = 1
     d_zf: int = 256
@@ -258,28 +306,21 @@ class S3VAEModel(nn.Module):
         # torch .sample() — gradient flows only through the anchor).
         key = self.make_rng("sample")
         k1, k2, k3 = jax.random.split(key, 3)
-        anchor = mu_zf + std_zf * jax.random.normal(k1, mu_zf.shape)
+        anchor = (mu_zf + std_zf * jax.random.normal(k1, mu_zf.shape))
         pos = jax.lax.stop_gradient(
             aux["pos_mu"] + aux["pos_std"] * jax.random.normal(
-                k2, aux["pos_mu"].shape))
+                k2, aux["pos_mu"].shape)).astype(jnp.float32)
         neg = jax.lax.stop_gradient(
             aux["neg_mu"] + aux["neg_std"] * jax.random.normal(
-                k3, aux["neg_mu"].shape))
-        flat = lambda z: z.reshape(b, -1).astype(jnp.float32)
-        d_pos = jnp.linalg.norm(flat(anchor) - flat(pos), axis=-1)
-        d_neg = jnp.linalg.norm(flat(anchor) - flat(neg), axis=-1)
-        scc_loss = jnp.mean(jnp.maximum(d_pos - d_neg + self.margin, 0.0))
+                k3, aux["neg_mu"].shape)).astype(jnp.float32)
+        scc_loss = scc_triplet_loss(anchor, pos, neg, self.margin)
 
         # 3. DFP: motion-grid BCE over the T−1 transitions.
         labels = (batch["out_flow_labels"] if self.extrapolate
                   else batch["in_flow_labels"]).astype(jnp.float32)
         logits = aux["dfp_logits"]
         n_lab = min(labels.shape[1], logits.shape[1])
-        logits = logits[:, :n_lab]
-        labels = labels[:, :n_lab]
-        p = jax.nn.sigmoid(logits)
-        dfp_loss = -jnp.mean(labels * jnp.log(p + 1e-7)
-                             + (1 - labels) * jnp.log(1 - p + 1e-7))
+        dfp_loss = dfp_bce_loss(logits[:, :n_lab], labels[:, :n_lab])
 
         # 4. MI (minibatch-weighted logsumexp entropy estimate, :391-449).
         mi_loss = self._mi_loss(aux, b)
@@ -297,27 +338,14 @@ class S3VAEModel(nn.Module):
         n = self.data_points * self.train_test_split
         log_nm = jnp.log(n * b)
 
-        # Dynamic: (T, 1, B, …) vs (T, B, 1, …) → (T, B, B).
+        # Dynamic stats time-first: (B, T, …) → (T, B, …); reparameterized
+        # samples, then the pure estimator (parity-tested vs the ref).
         mu_t = jnp.moveaxis(aux["mu_zt"].astype(jnp.float32), 1, 0)
         std_t = jnp.moveaxis(aux["std_zt"].astype(jnp.float32), 1, 0)
         zt_s = mu_t + std_t * jax.random.normal(
             self.make_rng("sample"), mu_t.shape)
-        log_q_t = _normal_logprob(mu_t[:, None], std_t[:, None],
-                                  zt_s[:, :, None])
-        log_q_t = jnp.sum(log_q_t,
-                          axis=tuple(range(3, log_q_t.ndim)))  # (T, B, B)
-
-        # Static: (1, B, …) vs (B, 1, …) → (B, B), broadcast over T.
         mu_f = aux["mu_zf"].astype(jnp.float32)
         std_f = aux["std_zf"].astype(jnp.float32)
         zf_s = mu_f + std_f * jax.random.normal(
             self.make_rng("sample"), mu_f.shape)
-        log_q_f = _normal_logprob(mu_f[None], std_f[None], zf_s[:, None])
-        log_q_f = jnp.sum(log_q_f,
-                          axis=tuple(range(2, log_q_f.ndim)))  # (B, B)
-        log_q_f = jnp.broadcast_to(log_q_f[None], log_q_t.shape)
-
-        h_t = -jax.nn.logsumexp(log_q_t - log_nm, axis=2)    # (T, B)
-        h_f = -jax.nn.logsumexp(log_q_f - log_nm, axis=2)
-        h_ft = -jax.nn.logsumexp(log_q_t + log_q_f - log_nm, axis=2)
-        return jnp.mean(jax.nn.relu(-h_ft + h_f + h_t))
+        return mi_estimate(mu_t, std_t, zt_s, mu_f, std_f, zf_s, log_nm)

@@ -263,3 +263,128 @@ def test_create_convnet_final_tanh_vs_reference(ref_modules):
         ref_out = ref_seq(_t(y))
     np.testing.assert_allclose(ours, np.moveaxis(ref_out.numpy(), 1, -1),
                                atol=2e-5)
+
+
+# ----------------------- S3VAE loss-stack oracles --------------------------
+
+@pytest.fixture(scope="module")
+def ref_s3vae_cls(ref_modules):
+    """Load the reference's S3VAE class itself (models/S3VAE.py). wandb is
+    absent in-image → shimmed; the class is instantiated via __new__ with
+    only the attributes each loss method reads, so no nets are built."""
+    if "wandb" not in sys.modules:
+        wb = types.ModuleType("wandb")
+        wb.log = lambda *a, **k: None
+        sys.modules["wandb"] = wb
+    sys.path.insert(0, str(REF))
+    spec = importlib.util.spec_from_file_location(
+        "ref_s3vae", REF / "models/S3VAE.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_s3vae"] = mod
+    spec.loader.exec_module(mod)
+    sys.path.remove(str(REF))
+    return mod.S3VAE
+
+
+def _det_normal(loc):
+    """torch Normal whose (r)sample is exactly its loc — makes the
+    reference's internally-sampling loss methods deterministic so both
+    sides evaluate the same math on the same 'samples'."""
+    d = torch.distributions.Normal(loc=loc, scale=torch.ones_like(loc))
+    d.rsample = lambda *a, **k: loc
+    d.sample = lambda *a, **k: loc
+    return d
+
+
+def test_s3vae_scc_triplet_vs_reference(ref_s3vae_cls):
+    """SCC term (reference S3VAE.py:365-379 + nn.TripletMarginLoss at
+    :51): torch's pairwise distance reduces only the LAST tensor axis
+    (W for conv features) — our scc_triplet_loss must match that exact
+    reduction on both 4D conv features and 2D vector latents."""
+    from ode_rl_tpu.models.s3vae import scc_triplet_loss
+
+    rng = np.random.RandomState(0)
+    for shape_t, nhwc in [((3, 8, 6, 5), True), ((4, 16), False)]:
+        a = rng.randn(*shape_t).astype(np.float32)
+        p = (a + 0.3 * rng.randn(*shape_t)).astype(np.float32)
+        n = rng.randn(*shape_t).astype(np.float32)
+
+        m = ref_s3vae_cls.__new__(ref_s3vae_cls)
+        torch.nn.Module.__init__(m)  # skip S3VAE.__init__ (builds nets)
+        m.opt = types.SimpleNamespace(slot_att=False, encoder="cgru")
+        m._triplet_loss = torch.nn.TripletMarginLoss(margin=1.0)
+        m.q_zf_xT = _det_normal(torch.from_numpy(a))
+        m.get_scc_loss(_det_normal(torch.from_numpy(p)),
+                       _det_normal(torch.from_numpy(n)))
+        ref = float(m.scc_loss)
+
+        to_ours = (lambda x: jnp.asarray(np.moveaxis(x, 1, -1))
+                   if nhwc else jnp.asarray(x))
+        ours = float(scc_triplet_loss(to_ours(a), to_ours(p), to_ours(n),
+                                      margin=1.0))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_s3vae_dfp_bce_vs_reference(ref_s3vae_cls):
+    """DFP term (reference S3VAE.py:381-389): BCE of sigmoid(dfp logits)
+    against the motion-magnitude grid labels; dfp_net := Identity so the
+    oracle is exactly the BCE-vs-grid math."""
+    from ode_rl_tpu.models.s3vae import dfp_bce_loss
+
+    rng = np.random.RandomState(1)
+    logits = rng.randn(4, 9, 9).astype(np.float32) * 2.0
+    labels = (rng.rand(4, 9, 9) > 0.7).astype(np.float32)
+
+    m = ref_s3vae_cls.__new__(ref_s3vae_cls)
+    torch.nn.Module.__init__(m)  # skip S3VAE.__init__ (builds nets)
+    m.opt = types.SimpleNamespace(extrapolate=True, reconstruct=False)
+    m.dfp_net = torch.nn.Identity()
+    m.out_flow_labels = torch.from_numpy(labels)
+    m.get_dfp_loss(torch.from_numpy(logits))
+    ref = float(m.dfp_loss)
+
+    ours = float(dfp_bce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_s3vae_mi_estimate_vs_reference(ref_s3vae_cls):
+    """MI term (reference S3VAE.py:391-449): minibatch-weighted
+    logsumexp entropy estimate H(zf)+H(zt)-H(zf,zt), conv-encoder branch
+    (6D log-prob tensors summed over C,H,W). Reference samples := locs
+    via _det_normal; ours receives the same samples explicitly."""
+    from ode_rl_tpu.models.s3vae import mi_estimate
+
+    b, t, c, h, w = 4, 3, 2, 5, 5
+    rng = np.random.RandomState(2)
+    mu_t = rng.randn(b, t, c, h, w).astype(np.float32)
+    std_t = (0.3 + rng.rand(b, t, c, h, w)).astype(np.float32)
+    mu_f = rng.randn(b, c, h, w).astype(np.float32)
+    std_f = (0.3 + rng.rand(b, c, h, w)).astype(np.float32)
+
+    m = ref_s3vae_cls.__new__(ref_s3vae_cls)
+    torch.nn.Module.__init__(m)  # skip S3VAE.__init__ (builds nets)
+    m.opt = types.SimpleNamespace(
+        batch_size=b, phase="train", train_test_split=0.8,
+        data_points=10000, encoder="cgru")
+    q_zt = torch.distributions.Normal(torch.from_numpy(mu_t),
+                                      torch.from_numpy(std_t))
+    q_zf = torch.distributions.Normal(torch.from_numpy(mu_f),
+                                      torch.from_numpy(std_f))
+    # The reference builds fresh Normals from .loc/.scale inside dist_op
+    # and samples those — patch the class-level rsample for the call.
+    orig_rsample = torch.distributions.Normal.rsample
+    torch.distributions.Normal.rsample = lambda self, *a, **k: self.loc
+    try:
+        m.q_zt_xt, m.q_zf_xT = q_zt, q_zf
+        m.get_mi_loss()
+        ref = float(m.mi_loss)
+    finally:
+        torch.distributions.Normal.rsample = orig_rsample
+
+    # Ours: time-first NHWC stats, samples = locs, same log(N·M).
+    tf = lambda x: jnp.asarray(np.moveaxis(np.moveaxis(x, 1, 0), 2, -1))
+    bf = lambda x: jnp.asarray(np.moveaxis(x, 1, -1))
+    log_nm = float(np.log(0.8 * 10000 * b))
+    ours = float(mi_estimate(tf(mu_t), tf(std_t), tf(mu_t),
+                             bf(mu_f), bf(std_f), bf(mu_f), log_nm))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
