@@ -55,10 +55,20 @@ def _make_flow_label_fn(cfg):
         params = serialization.from_bytes(
             params, pathlib.Path(path).read_bytes())
         print(f"flow labels: FlowNetC weights from {path}")
+    elif cfg.get("allow_random_flownet", False):
+        print("warning: flow_label_source=flownet with "
+              "allow_random_flownet=True — DFP labels come from a "
+              "randomly initialized FlowNetC (debug only)")
     else:
-        print("warning: flow_label_source=flownet without a trained "
-              "flownet_params_path — using a randomly initialized FlowNetC "
-              "(train one with ode_rl_tpu.flow.train.train_flownet)")
+        # The reference's DFP labels come from a TRAINED flow net
+        # (scripts/get_labels_from_pred_flow.py:30-49); silently
+        # supervising against random-feature flow is a quality trap.
+        raise FileNotFoundError(
+            f"flow_label_source=flownet but no trained weights at "
+            f"flownet_params_path={path!r}. Train them with "
+            f"`python scripts/train_flownetc.py` (writes the default "
+            f"path), or pass --allow_random_flownet True to opt into "
+            f"random-init flow features.")
     return make_flownet_label_fn(net, params)
 
 
@@ -312,6 +322,51 @@ def _resurrect_train_config(cfg, saved: Dict):
     return Config(merged)
 
 
+def _make_lpips_horizon_fn(cfg):
+    """Per-horizon LPIPS for the test metric sweep (the reference computes
+    LPIPS alongside MSE/PSNR/SSIM, Vid-ODE/evaluate.py:22-68). Returns a
+    jitted (pred, gt) → (T,) function, or None when disabled.
+
+    ``eval_lpips: auto`` enables it for the VidODE family; grayscale
+    frames are tiled to 3 channels. Without pretrained weights
+    (``lpips_alexnet_npz``) the score is uncalibrated — lpips_distance
+    warns once and the curve is still valid for relative comparison."""
+    mode = cfg.get("eval_lpips", "auto")
+    if isinstance(mode, str) and mode.lower() == "auto":
+        enabled = cfg.model in ("VidODE",)
+    else:
+        enabled = bool(mode)
+    if not enabled:
+        return None
+    from ode_rl_tpu.eval_models.lpips import (
+        init_lpips, load_torch_weights, lpips_distance)
+    variables = init_lpips()
+    calibrated = False
+    alex = str(cfg.get("lpips_alexnet_npz", "") or "")
+    lins = str(cfg.get("lpips_lins_npz", "") or "")
+    if alex and pathlib.Path(alex).exists():
+        variables = load_torch_weights(variables, alex, lins or None)
+        calibrated = True
+        print(f"LPIPS: calibrated weights from {alex}")
+
+    def per_horizon(pred, gt):
+        # (B, T, H, W, C) → (T,) mean LPIPS per prediction horizon.
+        to_rgb = lambda x: (jnp.tile(x, (1, 1, 1, 3))
+                            if x.shape[-1] == 1 else x[..., :3])
+        p = jnp.clip(jnp.moveaxis(pred.astype(jnp.float32), 1, 0), 0.0, 1.0)
+        g = jnp.clip(jnp.moveaxis(gt.astype(jnp.float32), 1, 0), 0.0, 1.0)
+        scores = jax.vmap(
+            lambda a, b: lpips_distance(variables, to_rgb(a), to_rgb(b),
+                                        calibrated=calibrated))(p, g)
+        return jnp.mean(scores, axis=1)  # (T, B) → (T,)
+
+    # Trigger the one-time uncalibrated warning outside jit.
+    if not calibrated:
+        lpips_distance(variables, jnp.zeros((1, 8, 8, 3)),
+                       jnp.zeros((1, 8, 8, 3)), calibrated=False)
+    return jax.jit(per_horizon)
+
+
 def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     # Resolve the trained checkpoint FIRST (by explicit ckpt_id, mirroring
     # reference helpers/utils.py:229-252 — never by string surgery on the
@@ -350,6 +405,7 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     eval_step = make_eval_step(model)
     loader = loaders["test_dataloader"]
     batches = int(cfg.get("eval_batches", 0)) or loaders["n_test_batches"]
+    lpips_fn = _make_lpips_horizon_fn(cfg)
 
     all_metrics = []
     last_pred = last_batch = None
@@ -360,8 +416,13 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         rng, sub = jax.random.split(rng)
         metrics, pred = eval_step(state.variables, batch, sub)
         last_pred, last_batch = pred, batch
-        all_metrics.append(jax.device_get(
-            {k: v for k, v in metrics.items() if not k.startswith("aux_")}))
+        host = jax.device_get(
+            {k: v for k, v in metrics.items() if not k.startswith("aux_")})
+        if lpips_fn is not None:
+            gt = batch["data_to_predict"] + 0.5
+            if pred.shape[:2] == gt.shape[:2]:  # skip full-seq recon models
+                host["lpips"] = jax.device_get(lpips_fn(pred, gt))
+        all_metrics.append(host)
 
     # Mean over batches → per-horizon curves; report the final horizon
     # (the reference's "final test metrics", train_test.py:142-143).

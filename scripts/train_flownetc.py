@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Train FlowNetC to a clearly-below-random EPE and ship the params.
+
+Closes the flow-label loop: the reference's DFP labels come from a
+*trained* flow network (scripts/get_labels_from_pred_flow.py:30-49 in
+/root/reference), so running the faithful predicted-flow label path with
+a randomly initialized FlowNetC would supervise S3VAE's DFP head against
+noise. This script trains FlowNetC on the synthetic random-warp corpus
+(same supervision structure as FlyingChairs: image pair + exact flow),
+validates EPE on a held-out FlyingChairs-layout disk corpus against a
+random-init baseline, and saves flax-msgpack params at the path that
+``flownet_params_path`` defaults to (logs/flow/flownetc.msgpack).
+
+Usage:
+    python scripts/train_flownetc.py [--steps 2000] [--batch 8]
+        [--out logs/flow/flownetc.msgpack] [--report results/round3/flownetc.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--out", default="logs/flow/flownetc.msgpack")
+    ap.add_argument("--report", default="results/round3/flownetc.json")
+    ap.add_argument("--val_pairs", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+
+    from ode_rl_tpu.flow.data import (FlyingChairsCorpus, validate_epe,
+                                      write_synthetic_chairs)
+    from ode_rl_tpu.flow.flownets import FlowNetC
+    from ode_rl_tpu.flow.train import save_flownet_params, train_flownet
+
+    net = FlowNetC()
+
+    # Held-out FlyingChairs-layout disk corpus for EPE validation (the
+    # training stream is the on-device generator; the val set exercises
+    # the ppm/.flo disk pipeline end-to-end).
+    val_dir = pathlib.Path(tempfile.mkdtemp(prefix="chairs_val_"))
+    write_synthetic_chairs(val_dir, n_pairs=args.val_pairs, seed=1234)
+    val = lambda: FlyingChairsCorpus(val_dir, batch_size=args.batch,
+                                    is_train=False, seed=0)
+
+    # Random-init baseline EPE (what the old fallback path was using).
+    import jax.numpy as jnp
+    dummy = jnp.zeros((1, 64, 64, 3))
+    rand_params = net.init(jax.random.key(0), dummy, dummy)
+    rand_epe = validate_epe(net, rand_params, val(), pair_input=False)
+    print(f"random-init FlowNetC val EPE: {rand_epe:.4f}")
+
+    t0 = time.time()
+    out = train_flownet(net, steps=args.steps, batch=args.batch,
+                        lr=args.lr, pair_input=False)
+    train_s = time.time() - t0
+    trained_epe = validate_epe(net, out["state"]["params"], val(),
+                               pair_input=False)
+    print(f"trained  FlowNetC val EPE: {trained_epe:.4f} "
+          f"(final train loss {out['loss']:.4f}, epe {out['epe']:.4f}; "
+          f"{args.steps} steps in {train_s:.0f}s)")
+
+    save_flownet_params(out["state"], args.out)
+    print(f"saved params → {args.out}")
+
+    report = {
+        "steps": args.steps, "batch": args.batch, "lr": args.lr,
+        "train_seconds": round(train_s, 1),
+        "final_train_loss": out["loss"], "final_train_epe": out["epe"],
+        "val_epe_random_init": rand_epe, "val_epe_trained": trained_epe,
+        "val_pairs": args.val_pairs, "params_path": str(args.out),
+    }
+    rp = pathlib.Path(args.report)
+    rp.parent.mkdir(parents=True, exist_ok=True)
+    rp.write_text(json.dumps(report, indent=2))
+    print(f"report → {rp}")
+
+
+if __name__ == "__main__":
+    main()

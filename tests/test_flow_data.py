@@ -110,3 +110,20 @@ def test_flownet_label_fn_end_to_end():
     labels = jax.jit(label_fn)(video)
     assert labels.shape == (2, 2, 9)
     assert np.asarray(labels).sum(-1).max() == 3   # top-3 multi-hot
+
+
+def test_flownet_label_source_requires_trained_weights(tmp_path):
+    """flow_label_source=flownet without trained weights is a hard error
+    (the reference's DFP labels come from a TRAINED flow net,
+    scripts/get_labels_from_pred_flow.py:30-49 — random features would
+    silently supervise DFP against noise); allow_random_flownet=True is
+    the explicit debug escape."""
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.train.loop import _make_flow_label_fn
+
+    base = {"flow_label_source": "flownet",
+            "flownet_params_path": str(tmp_path / "missing.msgpack")}
+    with pytest.raises(FileNotFoundError, match="train_flownetc"):
+        _make_flow_label_fn(Config(base))
+    fn = _make_flow_label_fn(Config({**base, "allow_random_flownet": True}))
+    assert fn is not None

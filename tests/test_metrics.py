@@ -58,3 +58,30 @@ def test_per_frame_metrics_shapes():
     assert m["mse"].shape == (4,)
     assert m["psnr"].shape == (4,)
     assert m["ssim"].shape == (4,)
+
+
+def test_lpips_horizon_fn_in_eval_sweep():
+    """The test() metric sweep computes a per-horizon LPIPS curve for the
+    VidODE family (reference Vid-ODE/evaluate.py:22-68): enabled on
+    'auto' for VidODE, off for ConvGRU, identical-frames → ~0, and a (T,)
+    curve on grayscale (tiled to RGB) inputs."""
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.train.loop import _make_lpips_horizon_fn
+
+    assert _make_lpips_horizon_fn(Config({"model": "ConvGRU"})) is None
+    fn = _make_lpips_horizon_fn(Config({"model": "VidODE"}))
+    assert fn is not None
+
+    pred = jax.random.uniform(jax.random.key(0), (2, 3, 32, 32, 1))
+    gt = jax.random.uniform(jax.random.key(1), (2, 3, 32, 32, 1))
+    curve = np.asarray(fn(pred, gt))
+    assert curve.shape == (3,)
+    assert np.isfinite(curve).all() and (curve > 0).all()
+    same = np.asarray(fn(pred, pred))
+    assert np.abs(same).max() < 1e-5
+
+    # Explicit override beats the family default.
+    assert _make_lpips_horizon_fn(
+        Config({"model": "VidODE", "eval_lpips": False})) is None
+    assert _make_lpips_horizon_fn(
+        Config({"model": "ConvGRU", "eval_lpips": True})) is not None
