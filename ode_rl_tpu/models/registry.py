@@ -175,7 +175,17 @@ def _build_convlstm(cfg):
     return ConvLSTMED(in_channels=cfg.in_channels, dtype=_compute_dtype(cfg))
 
 
+def _build_cater_classifier(cfg):
+    # World-model feature extractor + multilabel readout; trained through
+    # its dedicated path (wm/cater.py::train_cater_classifier) because its
+    # batch protocol (episode chunks + per-episode targets) differs from
+    # the uniform video-prediction loop.
+    from ode_rl_tpu.wm.cater import CaterClassifierModel
+    return CaterClassifierModel(cfg)
+
+
 MODEL_REGISTRY: Dict[str, Callable] = {
+    "CATERClassifier": _build_cater_classifier,
     "ConvGRU": _build_convgru,
     "ConvLSTM": _build_convlstm,
     "Dreamer": _build_dreamer,

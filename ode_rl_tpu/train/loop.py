@@ -173,6 +173,9 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
 def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     if cfg.get("gan", False):
         return train_gan(cfg, logdir)
+    if cfg.model == "CATERClassifier":
+        from ode_rl_tpu.wm.cater import train_cater_classifier
+        return train_cater_classifier(cfg, logdir)
     run_id = resolve_run_id(cfg)
     logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / cfg.model / run_id
     logger = MetricLogger(logdir, use_wandb=not cfg.get("off_wandb", True),

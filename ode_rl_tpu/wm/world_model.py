@@ -99,6 +99,14 @@ class WorldModel(nn.Module):
         return model_loss, (metrics, pred)
 
     # ------------------------------------------------------------------
+    def observe_features(self, image: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, H, W, C) in [-0.5, 0.5] → (B, T, F) posterior features
+        (the classifier's input, reference models.py:action_pred)."""
+        embed = self.encoder(image.astype(self.dtype))
+        post, _ = self.dynamics.observe(embed, self.make_rng("sample"))
+        return self.dynamics.get_feat(post)
+
+    # ------------------------------------------------------------------
     def video_pred(self, batch: Dict, initial_frames: int = 10):
         """Open-loop rollout diagnostics (reference models.py:88-103):
         condition on the first ``initial_frames``, imagine the rest."""

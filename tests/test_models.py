@@ -147,3 +147,36 @@ def test_odeconvgru_z_sample():
                         rngs={"sample": jax.random.key(2)})
     assert not np.allclose(p1, p2), "z_sample must actually sample"
     np.testing.assert_allclose(p1, p3, rtol=1e-6)
+
+
+def test_mem_variant_shipped_config_health():
+    """Regression pin for the mem-variant stiff-regime failure mode
+    (round-2 HANDOFF #3): at the SHIPPED train_mmnist_odecgrumem
+    config (architecture dims, tolerances, mem=True), a few train steps
+    must keep the solver clearly below its step budget (NFE < 0.8 × the
+    6·max_steps ceiling) with finite loss and gradients. If the config
+    ever drifts back into the NFE≈budget regime, this fails."""
+    import pathlib
+
+    from ode_rl_tpu.core.config import load_config
+    from ode_rl_tpu.models import build_model
+
+    cfg_path = pathlib.Path(__file__).parent.parent / "configs.yaml"
+    cfg = load_config(["defaults", "train_mmnist_odecgrumem_len20_1ch"],
+                      config_path=cfg_path)
+    assert cfg.mem is True
+    model = build_model(cfg)
+
+    batch = tiny_batch(n_in=4, n_out=4, b=2)
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+    rng = jax.random.key(1)
+    budget_nfe = 6 * int(cfg.ode_max_steps)
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        assert np.isfinite(m["loss"]), m
+        assert np.isfinite(m["grad_norm"]) and m["grad_norm"] > 0, m
+        assert m["nfe"] < 0.8 * budget_nfe, (
+            f"mem variant near its NFE budget: {m['nfe']} vs {budget_nfe}")

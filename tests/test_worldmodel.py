@@ -214,3 +214,33 @@ def test_classifier_trains_on_worldmodel_features():
     assert float(loss) < float(loss0) * 0.5     # actually learns
     assert float(metrics["mAP"]) > 0.9          # near-perfect on train
     assert 0.0 <= float(metrics["top5"]) <= 1.0
+
+
+def test_cater_layout_corpus_and_loader(tmp_path):
+    """CATER-protocol data path (reference dreamerv2/datasets.py:33-46 +
+    tools.load_labels:329-333): corpus in the videos/ + lists/<task>/
+    layout, multilabel parsing of '<video> <id>,<id>' lines, and episode
+    chunking with per-episode targets."""
+    from ode_rl_tpu.wm.cater import (CaterEpisodes, load_cater_labels,
+                                     write_synthetic_cater)
+
+    root = write_synthetic_cater(tmp_path / "cater", n_train=6, n_val=3,
+                                 n_frames=16)
+    labels = load_cater_labels(
+        root / "lists" / "actions_present" / "train.txt", 10)
+    assert len(labels) == 6
+    y = next(iter(labels.values()))
+    assert y.shape == (10,) and set(np.unique(y)) <= {0.0, 1.0}
+    # every episode has ≥1 action and ≥1 color class
+    for y in labels.values():
+        assert y[:4].sum() >= 1 and y[4:].sum() >= 1
+
+    loader = CaterEpisodes(root, "train", batch_size=2, batch_length=8)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2 * 2, 8, 64, 64, 3)   # B·n chunks
+    assert batch["label"].shape == (2, 10)
+    assert batch["n_chunks"] == 2
+    assert float(jnp.abs(batch["image"]).max()) <= 0.5 + 1e-6
+
+    val = CaterEpisodes(root, "val", batch_size=3, batch_length=8)
+    assert len(val) == 1
