@@ -282,6 +282,14 @@ class S3VAEModel(nn.Module):
 
         target = (batch["data_to_predict"].astype(jnp.float32) + 0.5
                   if self.extrapolate else inputs)
+        # Train protocol is symmetric (out_seq == in_seq, 20→20), but the
+        # test configs carry long horizons (20→180): initializing/evaluating
+        # the loss there compares the common prefix (prediction metrics over
+        # the full horizon come from predict(train=False) + the test sweep).
+        if target.shape[1] != t:
+            n = min(target.shape[1], t)
+            target, x_hat = target[:, :n], x_hat[:, :n]
+            t = n
 
         # 1. VAE ELBO (sum-reduced, /(B·T) — reference :342-354).
         recon = jnp.sum(jnp.square(x_hat - target)) / (b * t)
