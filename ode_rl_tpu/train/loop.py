@@ -126,15 +126,28 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     test_loader = loaders.get("test_dataloader")
 
     def periodic_eval(epoch: int) -> Dict:
+        # Multi-batch metric sweep, not a single-batch peek (the
+        # reference's periodic test dumps full metric sets,
+        # Vid-ODE/main.py:289-290 → tester metric sweep).
         from ode_rl_tpu.train.visualize import save_filmstrip
-        video = next(test_loader)
-        tbatch = make_batch_dict(video, n_in=cfg.train_in_seq)
-        m, pred = eval_step({"params": state.gen_params,
-                             **state.gen_model_state}, tbatch,
-                            jax.random.key(epoch))
-        m = jax.device_get({k: v for k, v in m.items()
-                            if not k.startswith("aux_")})
+        n_eval = int(cfg.get("gan_eval_batches", 4))
+        acc = []
+        pred = tbatch = None
+        for i in range(n_eval):
+            video = next(test_loader)
+            tbatch = make_batch_dict(video, n_in=cfg.train_in_seq)
+            m, pred = eval_step({"params": state.gen_params,
+                                 **state.gen_model_state}, tbatch,
+                                jax.random.key(epoch * 1000 + i))
+            acc.append(jax.device_get({k: v for k, v in m.items()
+                                       if not k.startswith("aux_")}))
+        m = {k: np.mean(np.stack([a[k] for a in acc]), axis=0)
+             for k in acc[0]}
         out = {f"test_{k}": float(np.asarray(v).mean()) for k, v in m.items()}
+        # Per-horizon curves for the run dir (same artifact as test()).
+        import json as _json
+        (logdir / f"gan_eval_epoch{epoch:05d}.json").write_text(_json.dumps(
+            {k: np.asarray(v).tolist() for k, v in m.items()}))
         gt = np.asarray(tbatch["data_to_predict"][0]) + 0.5
         save_filmstrip(logdir / f"test_epoch{epoch:05d}.png",
                        [gt, np.asarray(pred[0])],
