@@ -248,3 +248,31 @@ def test_fast_adjoint_pytree_params():
     g = jax.grad(loss)(params)
     assert np.isfinite(float(g["a"])) and abs(float(g["a"])) > 0
     assert np.isfinite(float(g["b"])) and abs(float(g["b"])) > 0
+
+
+def test_fast_windowed_fill_dense_output_grid():
+    """Window-cap regime of the O(NFE·W) fill (ode/fast.py _FILL_W): at
+    loose tolerance a single accepted step would span many output slots;
+    dt must cap at the window edge and every one of a DENSE output grid
+    still gets a correct interpolated value (oracle: the analytic
+    solution of dy/dt = -a·y), with finite, accurate gradients."""
+    from ode_rl_tpu.ode.fast import odeint_fast
+
+    a = jnp.array(1.3)
+    func = lambda t, y, p: -p * y
+    ts = jnp.linspace(0.0, 2.0, 33)        # dense grid, loose tol
+    y0 = jnp.array([1.0, 0.5])
+
+    ys, stats = odeint_fast(func, y0, ts, a, rtol=1e-3, atol=1e-6,
+                            max_steps=256)
+    exact = y0[None] * jnp.exp(-a * ts)[:, None]
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(exact),
+                               rtol=2e-3, atol=1e-5)
+    assert bool(stats.converged)
+
+    # d/da sum(y(t)) = sum(-t · y(t)) analytically.
+    g = jax.grad(lambda p: jnp.sum(
+        odeint_fast(func, y0, ts, p, rtol=1e-3, atol=1e-6,
+                    max_steps=256)[0]))(a)
+    g_exact = float(jnp.sum(-ts[:, None] * exact))
+    np.testing.assert_allclose(float(g), g_exact, rtol=5e-3)
