@@ -18,11 +18,57 @@ for hardware caveats).
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import time
 
 import jax
 import numpy as np
+
+# v5e bf16 peak (197 TFLOP/s per chip); override for other hardware.
+PEAK_FLOPS = float(os.environ.get("ODE_RL_TPU_PEAK_FLOPS", 1.97e14))
+
+
+def analytic_flops_per_step(cfg, nfe: float) -> float:
+    """Whole-train-step FLOPs for the flagship ODEConvGRU workload,
+    counted analytically from the architecture (dominant conv/matmul
+    terms; elementwise ops excluded — ≪5% at these shapes).
+
+    Counting conventions: 1 MAC = 2 FLOPs; conv FLOPs =
+    2·H_out·W_out·C_out·K²·C_in per sample. Training cost = 3× forward
+    (activation-grad + weight-grad each ≈ one forward) plus one extra
+    forward of the ODE decode for the fast adjoint's step replay
+    (ode/fast.py recomputes each accepted step's stages from saved
+    state). NFE is the measured per-step mean, so the number tracks the
+    solver's actual effort, not a static bound."""
+    b = cfg.batch_size
+    t_in, t_out = cfg.train_in_seq, cfg.train_out_seq
+    res = cfg.resolution                      # 64
+    ch = cfg.conv_encoder_out_ch              # latent channels (64)
+    units = cfg.neural_ode_n_units
+    n_layers = cfg.n_ode_layers
+    eh = res // (2 ** cfg.n_downs)            # latent spatial (16)
+    conv = lambda hw, cin, cout, k: 2.0 * hw * hw * cout * k * k * cin
+
+    # Encoder per frame: stride-2 3×3 stack 1→16→ch (nn/conv_stacks.py).
+    enc = conv(res // 2, cfg.in_channels, 16, 3) + conv(eh, 16, ch, 3)
+    # ODE field eval: 3×3 tower ch→units, n_layers×units→units,
+    # units→ch at latent resolution (ConvNet in models/odeconvgru.py).
+    ode_eval = (conv(eh, ch, units, 3) + n_layers * conv(eh, units, units, 3)
+                + conv(eh, units, ch, 3))
+    # z0 inference per observed frame: one Euler field eval + ConvGRU
+    # cell (5×5 gates conv [2ch→2ch] + candidate [2ch→ch],
+    # nn/odeconvgru.py).
+    gru = conv(eh, 2 * ch, 2 * ch, 5) + conv(eh, 2 * ch, ch, 5)
+    # Decoder per output frame: 4×4 stride-2 transposed convs ch→32→C.
+    dec = (conv(res // 2, ch, 32, 4) // 2  # transposed: K²/stride² taps
+           + conv(res, 32, cfg.in_channels, 4) // 2)
+
+    forward = b * (t_in * (enc + ode_eval + gru)   # encode + z0 pass
+                   + nfe * ode_eval                # adaptive decode
+                   + t_out * dec)                  # frame decode
+    replay = b * nfe * ode_eval                    # fast-adjoint replay
+    return 3.0 * forward + replay
 
 
 def main() -> None:
@@ -90,6 +136,10 @@ def main() -> None:
             vs_baseline = fps_per_chip / baseline_fps
 
     metrics_host = jax.device_get(metrics)
+    mean_nfe = float(np.asarray(metrics_host.get("nfe", -1)))
+    step_s = elapsed / n_steps
+    flops_step = analytic_flops_per_step(cfg, max(mean_nfe, 0.0))
+    mfu = flops_step / step_s / PEAK_FLOPS
     print(json.dumps({
         "metric": "frames_per_sec_per_chip",
         "value": round(float(fps_per_chip), 2),
@@ -100,9 +150,16 @@ def main() -> None:
         "batch_size": batch_size,
         "seq_len": n_in + n_out,
         "steps_timed": n_steps,
-        "mean_nfe": float(np.asarray(metrics_host.get("nfe", -1))),
+        "step_ms": round(step_s * 1e3, 2),
+        "mean_nfe": mean_nfe,
+        "flops_per_step": round(flops_step),
+        "mfu_pct_of_bf16_peak": round(100.0 * mfu, 2),
         "loss": float(np.asarray(metrics_host["loss"])),
         "device": str(jax.devices()[0]),
+        "baseline_note": "baseline is torch eager on this image's CPU "
+                         "(BASELINE.md) — vs_baseline mixes hardware "
+                         "classes; read mfu_pct_of_bf16_peak for "
+                         "hardware-normalized efficiency",
     }))
 
 

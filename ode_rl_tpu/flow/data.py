@@ -171,7 +171,15 @@ def validate_epe(model, params, corpus, pair_input: bool = True,
         inputs = ((jnp.concatenate([img1, img2], axis=-1),) if pair_input
                   else (img1, img2))
         flows = model.apply(params, *inputs)
-        # finest pyramid level is 1/4 resolution at 1/4 magnitude
+        # Finest pyramid level: 1/4 resolution at 1/4 magnitude for every
+        # FlowNet variant here. Guard the convention instead of assuming
+        # it — a variant with a different output stride would otherwise
+        # silently mis-scale the upsampled flow.
+        stride = flow.shape[1] // flows[0].shape[1]
+        assert stride == 4, (
+            f"validate_epe assumes a stride-4 finest level (×4.0 "
+            f"magnitude); this net's finest output is stride {stride} — "
+            f"update the scale to match")
         full = jax.image.resize(flows[0], flow.shape, "bilinear") * 4.0
         return epe(full, flow)
 
