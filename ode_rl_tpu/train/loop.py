@@ -409,12 +409,19 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     model, loaders, state, rng = setup(cfg)
     if ckpt is not None:
         step = cfg.get("ckpt_step") or None
-        restored = ckpt.restore({"params": state.params,
-                                 "model_state": state.model_state,
-                                 "opt_state": state.opt_state},
-                                step=int(step) if step else None)
-        state = state.replace(params=restored["state"]["params"],
-                              model_state=restored["state"]["model_state"])
+        if cfg.get("gan", False):
+            # Adversarial runs snapshot {gen_params, disc_params}
+            # (train_gan); evaluation needs only the generator.
+            restored = ckpt.restore({"gen_params": state.params},
+                                    step=int(step) if step else None)
+            state = state.replace(params=restored["state"]["gen_params"])
+        else:
+            restored = ckpt.restore({"params": state.params,
+                                     "model_state": state.model_state,
+                                     "opt_state": state.opt_state},
+                                    step=int(step) if step else None)
+            state = state.replace(params=restored["state"]["params"],
+                                  model_state=restored["state"]["model_state"])
         print(f"loaded checkpoint {ckpt.tag} step {restored['step']} "
               f"from {ckpt.directory}")
 

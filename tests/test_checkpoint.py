@@ -75,3 +75,22 @@ def test_find_checkpoint_latest_across_dirs(tmp_path):
     CheckpointManager(d1, tag="t").save(5, {"w": jnp.ones((2,))})
     CheckpointManager(d2, tag="t").save(9, {"w": jnp.ones((2,))})
     assert find_checkpoint(tmp_path, "M", "t") == d2
+
+
+def test_restore_gan_snapshot_subset(tmp_path):
+    """test() restores only the generator from adversarial snapshots
+    ({gen_params, disc_params}): a template naming a subset of the
+    snapshot's top-level fields restores cleanly (extra snapshot fields
+    are ignored)."""
+    from ode_rl_tpu.core.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path, tag="gan")
+    gen = {"dense": {"kernel": np.ones((2, 2), np.float32)}}
+    disc = {"image": {"kernel": np.zeros((3,), np.float32)}}
+    ckpt.save(7, {"gen_params": gen, "disc_params": disc})
+
+    out = ckpt.restore({"gen_params": {"dense": {
+        "kernel": np.zeros((2, 2), np.float32)}}})
+    assert out["step"] == 7
+    np.testing.assert_array_equal(
+        out["state"]["gen_params"]["dense"]["kernel"], 1.0)
