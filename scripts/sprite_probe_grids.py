@@ -35,7 +35,7 @@ def main() -> None:
 
     from ode_rl_tpu.core.checkpoint import CheckpointManager, find_checkpoint
     from ode_rl_tpu.core.config import Config
-    from ode_rl_tpu.data.sprites import sprites_batch
+    from ode_rl_tpu.sprite.data import sprites_batch
     from ode_rl_tpu.models import build_model
     from ode_rl_tpu.train.visualize import save_filmstrip
 

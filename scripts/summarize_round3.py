@@ -64,9 +64,9 @@ FAMILIES = [
     ("S2VAE", "S2VAE", "train", "S2VAE", "test"),
     ("CS2VAE", "CS2VAE", "train", "CS2VAE", "test"),
     ("DS2VAE", "DS2VAE", "train", "DS2VAE", "test"),
-    ("VidODE + GAN", "VidODE", "gan", "VidODE", "test"),
-    ("Dreamer world model", "Dreamer", "train", "Dreamer", "test"),
-    ("ConvLSTM", "ConvLSTM", "train", "ConvLSTM", "test"),
+    ("VidODE + GAN", "VidODE", "gan", "VidODE", "gan"),
+    ("Dreamer world model", "Dreamer", "train", "Dreamer", "train"),
+    ("ConvLSTM", "ConvLSTM", "train", "ConvLSTM", "train"),
     ("DS-VAE (sprites)", "DSVAE", "train", "DSVAE", "test"),
     ("CATER classifier", "CATER", "", "CATER", ""),
 ]
