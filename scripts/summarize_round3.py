@@ -65,6 +65,9 @@ FAMILIES = [
     ("CS2VAE", "CS2VAE", "train", "CS2VAE", "test"),
     ("DS2VAE", "DS2VAE", "train", "DS2VAE", "test"),
     ("VidODE + GAN", "VidODE", "gan", "VidODE", "gan"),
+    ("VidODE (KTH-layout corpus, clip+nan-guard)", "VidODE", "kth",
+     "VidODE", "kth"),
+    ("VidODE (irregular sampling)", "VidODE", "irr", "VidODE", "irr"),
     ("Dreamer world model", "Dreamer", "train", "Dreamer", "train"),
     ("ConvLSTM", "ConvLSTM", "train", "ConvLSTM", "train"),
     ("DS-VAE (sprites)", "DSVAE", "train", "DSVAE", "test"),
