@@ -175,6 +175,22 @@ def _build_convlstm(cfg):
     return ConvLSTMED(in_channels=cfg.in_channels, dtype=_compute_dtype(cfg))
 
 
+def _build_spatial_dreamer(cfg):
+    from ode_rl_tpu.wm.spatial_rssm import SpatialWorldModel
+    return SpatialWorldModel(
+        image_shape=(cfg.resolution, cfg.resolution, cfg.in_channels),
+        stoch_ch=int(cfg.get("dyn_stoch_ch", 16)),
+        deter_ch=int(cfg.get("dyn_deter_ch", 64)),
+        hidden_ch=int(cfg.get("dyn_hidden_ch", 64)),
+        embed_ch=int(cfg.get("embed_ch", 64)),
+        kl_scale=float(cfg.get("kl_scale", 1.0)),
+        kl_free=float(cfg.get("kl_free", 1.0)),
+        stochastic_gates=bool(cfg.get("stochastic_gates", True)),
+        sparsity_scale=float(cfg.get("sparsity_scale", 1e-3)),
+        dtype=_compute_dtype(cfg),
+    )
+
+
 def _build_cater_classifier(cfg):
     # World-model feature extractor + multilabel readout; trained through
     # its dedicated path (wm/cater.py::train_cater_classifier) because its
@@ -189,6 +205,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "ConvGRU": _build_convgru,
     "ConvLSTM": _build_convlstm,
     "Dreamer": _build_dreamer,
+    "SpatialDreamer": _build_spatial_dreamer,
     "DSVAE": _build_dsvae,
     "cgrudecODE": _build_convgru,
     "ODEConv": _build_odeconvgru,

@@ -148,6 +148,22 @@ class SpatialRSSM(nn.Module):
                 jax.tree_util.tree_map(to_bt, prior),
                 jnp.mean(gates))
 
+    def imagine(self, t: int, state: State, key) -> State:
+        """Open-loop prior rollout for t steps from ``state`` →
+        time-major-then-(B, T, …) priors (the vector RSSM's imagine,
+        reference networks.py, on spatial maps)."""
+        keys = jax.random.split(key, t)
+
+        def body(mod, carry, k_t):
+            prior, _g = mod.img_step(carry, k_t)
+            return prior, prior
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        _, priors = scan(self, state, keys)
+        return jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, 1),
+                                      priors)
+
     def kl_loss(self, post: State, prior: State, free: float = 1.0):
         mp = post["mean"].astype(jnp.float32)
         sp = post["std"].astype(jnp.float32)
@@ -157,3 +173,101 @@ class SpatialRSSM(nn.Module):
               - 0.5)
         kl = jnp.sum(kl, axis=(-3, -2, -1))
         return jnp.maximum(jnp.mean(kl), free)
+
+
+class SpatialWorldModel(nn.Module):
+    """Trainable world model over the spatial RSSM — the
+    ModelBasedRL_TF_V2 training capability (its models.py wires the
+    ConvGRU/StochasticConvGRU dynamics + sparsity loss into the
+    DreamerV2 world-model objective) surfaced through this framework's
+    uniform loss/predict CLI contract ('SpatialDreamer').
+
+    Encoder keeps the spatial grid (stride-2 convs to latent_hw) instead
+    of flattening; decoder mirrors it with transposed convs; loss =
+    image NLL + KL(post‖prior) + sparsity_scale · mean gate activation
+    (the Bernoulli-update-gate penalty, networks.py:598-677)."""
+
+    image_shape: Tuple[int, int, int] = (64, 64, 1)
+    stoch_ch: int = 16
+    deter_ch: int = 64
+    hidden_ch: int = 64
+    embed_ch: int = 64
+    kl_scale: float = 1.0
+    kl_free: float = 1.0
+    stochastic_gates: bool = True
+    sparsity_scale: float = 1e-3
+    initial_frames: int = 10
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        h = self.image_shape[0]
+        self.latent_hw = h // 4
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        deconv = lambda f, name: nn.ConvTranspose(
+            f, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        self._enc1 = conv(self.embed_ch // 2, 4, 2, "enc1")
+        self._enc2 = conv(self.embed_ch, 4, 2, "enc2")
+        self.dynamics = SpatialRSSM(
+            stoch_ch=self.stoch_ch, deter_ch=self.deter_ch,
+            hidden_ch=self.hidden_ch, latent_hw=self.latent_hw,
+            stochastic_gates=self.stochastic_gates,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="dynamics")
+        self._dec1 = deconv(self.embed_ch // 2, "dec1")
+        self._dec2 = deconv(self.image_shape[-1], "dec2")
+
+    # -- pieces ---------------------------------------------------------
+    def _encode(self, image: jnp.ndarray) -> jnp.ndarray:
+        b, t, h, w, c = image.shape
+        x = image.reshape(b * t, h, w, c).astype(self.dtype)
+        x = nn.relu(self._enc1(x))
+        x = nn.relu(self._enc2(x))
+        return x.reshape(b, t, *x.shape[1:])
+
+    def _decode(self, feat: jnp.ndarray) -> jnp.ndarray:
+        b, t = feat.shape[:2]
+        x = feat.reshape(b * t, *feat.shape[2:])
+        x = nn.relu(self._dec1(x))
+        x = self._dec2(x)
+        return x.reshape(b, t, *x.shape[1:])
+
+    # -- uniform API ----------------------------------------------------
+    def loss(self, batch: Dict, train: bool = True, step: int = 0):
+        if "image" not in batch:
+            video = jnp.concatenate(
+                [batch["observed_data"], batch["data_to_predict"]], axis=1)
+            batch = {"image": video}
+        image = batch["image"].astype(self.dtype)
+        key = self.make_rng("sample")
+        embed = self._encode(image)
+        post, prior, gate_mean = self.dynamics.observe(embed, key)
+        kl = self.dynamics.kl_loss(post, prior, self.kl_free)
+        mean = self._decode(self.dynamics.get_feat(post))
+        img_lp = jnp.sum(
+            -0.5 * (jnp.log(2 * jnp.pi)
+                    + (mean.astype(jnp.float32)
+                       - image.astype(jnp.float32)) ** 2),
+            axis=(-3, -2, -1))
+        recon = -jnp.mean(img_lp)
+        sparsity = self.sparsity_scale * gate_mean
+        total = recon + self.kl_scale * kl + sparsity
+        metrics = {"loss": total, "image_loss": recon, "kl_loss": kl,
+                   "gate_mean": gate_mean, "sparsity_loss": sparsity}
+        return total, (metrics, mean.astype(jnp.float32))
+
+    def predict(self, batch: Dict, train: bool = False):
+        """Open-loop prediction of the to-predict frames (in [0, 1])."""
+        n_in = batch["observed_data"].shape[1]
+        n_out = batch["data_to_predict"].shape[1]
+        key = self.make_rng("sample")
+        k1, k2 = jax.random.split(key)
+        embed = self._encode(batch["observed_data"].astype(self.dtype))
+        post, _, _ = self.dynamics.observe(embed, k1)
+        init = jax.tree_util.tree_map(lambda v: v[:, n_in - 1], post)
+        priors = self.dynamics.imagine(n_out, init, k2)
+        openl = self._decode(self.dynamics.get_feat(priors))
+        return openl.astype(jnp.float32) + 0.5, {}

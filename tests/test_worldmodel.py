@@ -244,3 +244,38 @@ def test_cater_layout_corpus_and_loader(tmp_path):
 
     val = CaterEpisodes(root, "val", batch_size=3, batch_length=8)
     assert len(val) == 1
+
+
+def test_spatial_world_model_trains_and_predicts():
+    """SpatialWorldModel (ModelBasedRL_TF_V2 training capability): loss
+    with sparsity term decreases over a few steps; predict returns
+    open-loop frames in [0,1] with the requested horizon."""
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.data import MovingMNIST, make_batch_dict
+    from ode_rl_tpu.train.step import create_train_state, make_train_step
+    from ode_rl_tpu.wm.spatial_rssm import SpatialWorldModel
+
+    loader = iter(MovingMNIST(batch_size=2, n_frames_input=4,
+                              n_frames_output=3))
+    batch = make_batch_dict(next(loader), n_in=4)
+    model = SpatialWorldModel(image_shape=(64, 64, 1), stoch_ch=4,
+                              deter_ch=8, hidden_ch=8, embed_ch=8,
+                              stochastic_gates=True, sparsity_scale=1e-3)
+    cfg = Config({"lr": 3e-4, "clip": 100})
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+    losses = []
+    rng = jax.random.key(1)
+    for _ in range(6):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(float(m["gate_mean"]))
+    assert losses[-1] < losses[0]
+
+    variables = {"params": state.params, **state.model_state}
+    pred, _ = model.apply(variables, batch, train=False,
+                          method=model.predict,
+                          rngs={"sample": jax.random.key(2)})
+    assert pred.shape == (2, 3, 64, 64, 1)
+    assert np.isfinite(np.asarray(pred)).all()
