@@ -60,9 +60,10 @@ def analytic_flops_per_step(cfg, nfe: float) -> float:
     # cell (5×5 gates conv [2ch→2ch] + candidate [2ch→ch],
     # nn/odeconvgru.py).
     gru = conv(eh, 2 * ch, 2 * ch, 5) + conv(eh, 2 * ch, ch, 5)
-    # Decoder per output frame: 4×4 stride-2 transposed convs ch→32→C.
-    dec = (conv(res // 2, ch, 32, 4) // 2  # transposed: K²/stride² taps
-           + conv(res, 32, cfg.in_channels, 4) // 2)
+    # Decoder per output frame: 4×4 stride-2 transposed convs ch→32→C
+    # (a stride-s transposed conv touches K²/s² taps per output pixel).
+    dec = (conv(res // 2, ch, 32, 4) // 4
+           + conv(res, 32, cfg.in_channels, 4) // 4)
 
     forward = b * (t_in * (enc + ode_eval + gru)   # encode + z0 pass
                    + nfe * ode_eval                # adaptive decode

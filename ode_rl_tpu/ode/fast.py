@@ -21,11 +21,12 @@ monotonically, so instead of evaluating the Shampine interpolant at ALL
 T_out output slots every step and masking (O(T_out · state) reads+writes
 per solver iteration — measured ~1.5 ms/iteration of fill traffic at the
 flagship shape, 5× the conv work of the actual stages), each step
-evaluates only a static window of ``_FILL_W`` slots starting at the
+evaluates only a static window of slots starting at the
 current output cursor and writes them back with a dynamic slice.  ``dt``
-is capped so one step never spans beyond the window, which at real
-tolerances almost never binds (it requires a single step to cover ≥
-_FILL_W output intervals). Values are identical to the full-mask fill —
+is capped so one step never spans beyond the window; the window width
+is chosen per (n_out, max_steps) so this cap can never consume more
+than half the step budget even on dense output grids (see
+``_fill_width``). Values are identical to the full-mask fill —
 the same interpolant is evaluated at the same (step, output) pairs.
 
 Semantics match the scan solver except that gradients through the
@@ -50,11 +51,24 @@ from ode_rl_tpu.ode.solvers import (
     _error_ratio, _initial_step)
 
 # Dense-output fill window: max output slots one accepted step may cover.
+# Base width; _fill_width widens it for dense output grids so the dt cap
+# can never consume more than half the step budget.
 _FILL_W = 4
 
 
+def _fill_width(n_out: int, max_steps: int) -> int:
+    """Static window width for (n_out, max_steps): since every accepted
+    step is capped at the window edge, a solve needs ≥ ceil(n_out/W)
+    accepted steps regardless of tolerance — widen W so that floor is at
+    most half the budget (the other half stays available for error
+    control), preserving 'max_steps only bounds memory' for dense
+    grids."""
+    need = -(-2 * n_out // max(max_steps, 2))   # ceil(2·n_out/max_steps)
+    return max(_FILL_W, need)
+
+
 def _window_contrib(coeffs, t, dt, ts_w, ref):
-    """Evaluate the step's interpolant at the _FILL_W window times.
+    """Evaluate the step's interpolant at the window times.
 
     Returns the (W, …) contribution per leaf with the fill mask folded in
     (zero outside (t, t+dt]) so cotangents route correctly in the VJP."""
@@ -93,14 +107,15 @@ def _build(func, rtol: float, atol: float, max_steps: int):
         dt0 = jnp.minimum(_initial_step(g, t0, y0, f0, rtol, atol),
                           t_end - t0)
 
+        fill_w = _fill_width(n_out, max_steps)
         # Sentinel-padded time grid: window slices never clamp-shift, and
         # sentinel entries can never satisfy the fill condition.
         big = jnp.abs(t_end) + jnp.abs(t_end - t0) + 1e3
-        ts_pad = jnp.concatenate([ts, jnp.full((_FILL_W,), big, ts.dtype)])
+        ts_pad = jnp.concatenate([ts, jnp.full((fill_w,), big, ts.dtype)])
         # Output buffer padded by the window so dynamic_update_slice at
         # cursor ≤ n_out-1 stays in bounds; padded rows are dropped.
         ys0 = jax.tree_util.tree_map(
-            lambda y: jnp.zeros((n_out + _FILL_W,) + y.shape,
+            lambda y: jnp.zeros((n_out + fill_w,) + y.shape,
                                 y.dtype).at[0].set(y),
             y0)
         y_hist0 = jax.tree_util.tree_map(
@@ -122,7 +137,7 @@ def _build(func, rtol: float, atol: float, max_steps: int):
             # Cap the step at the last window output so a single step can
             # never cover outputs beyond the fill window (and never past
             # t_end: the cap index saturates at n_out-1 → ts[-1]).
-            t_cap = ts_pad[jnp.minimum(k_out + _FILL_W - 1, n_out - 1)]
+            t_cap = ts_pad[jnp.minimum(k_out + fill_w - 1, n_out - 1)]
             dt_used = jnp.maximum(jnp.minimum(dt, t_cap - t), 1e-12)
             y1, f7, err, y_mid = _dopri5_step(
                 lambda tt, yy: func(tt, yy, params), t, y, f, dt_used)
@@ -132,7 +147,7 @@ def _build(func, rtol: float, atol: float, max_steps: int):
             # Windowed dense-output fill (no AD here — forward only).
             t_new = t + dt_used
             coeffs = interp_fit(y, y1, y_mid, f, f7, dt_used)
-            ts_w = jax.lax.dynamic_slice(ts_pad, (k_out,), (_FILL_W,))
+            ts_w = jax.lax.dynamic_slice(ts_pad, (k_out,), (fill_w,))
             contrib, fill = _window_contrib(coeffs, t, dt_used, ts_w, y)
             fill = fill & accept
             n_filled = jnp.sum(fill.astype(jnp.int32))
@@ -140,7 +155,7 @@ def _build(func, rtol: float, atol: float, max_steps: int):
             def write(buf, v):
                 cur = jax.lax.dynamic_slice(
                     buf, (k_out,) + (0,) * (buf.ndim - 1),
-                    (_FILL_W,) + buf.shape[1:])
+                    (fill_w,) + buf.shape[1:])
                 mask = fill.reshape((-1,) + (1,) * (buf.ndim - 1))
                 new = jnp.where(mask, v.astype(buf.dtype), cur)
                 return jax.lax.dynamic_update_slice(
@@ -218,11 +233,12 @@ def _build(func, rtol: float, atol: float, max_steps: int):
         ct_ys, _ct_stats = cts
         y0, params, ts, y_hist, t_hist, dt_hist, kout_hist, n, k_out = res
         n_out = ts.shape[0]
+        fill_w = _fill_width(n_out, max_steps)
         big = (jnp.abs(ts[-1]) + jnp.abs(ts[-1] - ts[0]) + 1e3)
-        ts_pad = jnp.concatenate([ts, jnp.full((_FILL_W,), big, ts.dtype)])
+        ts_pad = jnp.concatenate([ts, jnp.full((fill_w,), big, ts.dtype)])
         ct_ys_pad = jax.tree_util.tree_map(
             lambda c: jnp.concatenate(
-                [c, jnp.zeros((_FILL_W,) + c.shape[1:], c.dtype)]), ct_ys)
+                [c, jnp.zeros((fill_w,) + c.shape[1:], c.dtype)]), ct_ys)
 
         ct_p0 = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p, jnp.float32), params)
@@ -252,11 +268,11 @@ def _build(func, rtol: float, atol: float, max_steps: int):
             t_i = t_hist[idx]
             dt_i = dt_hist[idx]
             ko_i = kout_hist[idx]
-            ts_w = jax.lax.dynamic_slice(ts_pad, (ko_i,), (_FILL_W,))
+            ts_w = jax.lax.dynamic_slice(ts_pad, (ko_i,), (fill_w,))
             ct_w = jax.tree_util.tree_map(
                 lambda c: jax.lax.dynamic_slice(
                     c, (ko_i,) + (0,) * (c.ndim - 1),
-                    (_FILL_W,) + c.shape[1:]), ct_ys_pad)
+                    (fill_w,) + c.shape[1:]), ct_ys_pad)
             _, vjp_fn = jax.vjp(
                 lambda yy, pp: _step_and_fill(func, pp, t_i, dt_i, yy, ts_w),
                 y_i, params)

@@ -170,6 +170,7 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                 logger.log(step, last)
             if step % cfg.get("ckpt_save_freq", 5000) == 0:
                 ckpt.save(step, {"gen_params": state.gen_params,
+                                 "gen_model_state": state.gen_model_state,
                                  "disc_params": state.disc_params},
                           config=cfg.to_dict())
         if test_loader is not None and (epoch + 1) % test_freq == 0:
@@ -177,6 +178,7 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
             last.update(test_metrics)
             logger.log(step, test_metrics)
     ckpt.save(max(step, 1), {"gen_params": state.gen_params,
+                             "gen_model_state": state.gen_model_state,
                              "disc_params": state.disc_params},
               config=cfg.to_dict())
     logger.close()
@@ -360,7 +362,12 @@ def _make_lpips_horizon_fn(cfg):
     calibrated = False
     alex = str(cfg.get("lpips_alexnet_npz", "") or "")
     lins = str(cfg.get("lpips_lins_npz", "") or "")
-    if alex and pathlib.Path(alex).exists():
+    if alex:
+        if not pathlib.Path(alex).exists():
+            raise FileNotFoundError(
+                f"lpips_alexnet_npz={alex!r} does not exist — refusing "
+                f"to silently fall back to uncalibrated random features "
+                f"(leave the flag empty to opt into uncalibrated LPIPS)")
         variables = load_torch_weights(variables, alex, lins or None)
         calibrated = True
         print(f"LPIPS: calibrated weights from {alex}")
@@ -384,6 +391,11 @@ def _make_lpips_horizon_fn(cfg):
 
 
 def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
+    if cfg.model == "CATERClassifier":
+        raise ValueError(
+            "the CATER classifier evaluates inside its training path "
+            "(val mAP vs the random baseline is reported there and "
+            "written to cater_eval.json); it has no separate test phase")
     # Resolve the trained checkpoint FIRST (by explicit ckpt_id, mirroring
     # reference helpers/utils.py:229-252 — never by string surgery on the
     # test id) so the saved train config can drive model construction.
@@ -410,11 +422,18 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     if ckpt is not None:
         step = cfg.get("ckpt_step") or None
         if cfg.get("gan", False):
-            # Adversarial runs snapshot {gen_params, disc_params}
-            # (train_gan); evaluation needs only the generator.
-            restored = ckpt.restore({"gen_params": state.params},
-                                    step=int(step) if step else None)
-            state = state.replace(params=restored["state"]["gen_params"])
+            # Adversarial runs snapshot {gen_params, gen_model_state,
+            # disc_params} (train_gan); evaluation needs the generator
+            # params AND its mutable state (BatchNorm running stats —
+            # eval with init stats mis-normalizes every activation).
+            restored = ckpt.restore(
+                {"gen_params": state.params,
+                 "gen_model_state": state.model_state},
+                step=int(step) if step else None,
+                allow_missing=("gen_model_state",))
+            state = state.replace(
+                params=restored["state"]["gen_params"],
+                model_state=restored["state"]["gen_model_state"])
         else:
             restored = ckpt.restore({"params": state.params,
                                      "model_state": state.model_state,

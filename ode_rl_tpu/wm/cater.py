@@ -265,10 +265,19 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
     @jax.jit
     def train_step(state, batch, key):
         def losses(params):
+            # One world-model forward serves both objectives: loss()
+            # returns its posterior features for the classifier instead
+            # of re-running encoder+observe on the same batch.
             wm_loss, (wm_metrics, _) = wm.apply(
                 {"params": params["wm"]}, {"image": batch["image"]},
-                method=wm.loss, rngs={"sample": key})
-            logits = model.logits(params, batch, key, n_chunks)
+                method=wm.loss, rngs={"sample": key},
+                return_features=True)
+            feats = wm_metrics.pop("_features")
+            chunk_last = feats[:, -1]
+            bn, f = chunk_last.shape
+            seq = chunk_last.reshape(bn // n_chunks, n_chunks, f)
+            logits = model.clf.apply({"params": params["clf"]},
+                                     seq.astype(jnp.float32))
             labels = batch["label"].astype(jnp.float32)
             lp = (labels * jax.nn.log_sigmoid(logits)
                   + (1 - labels) * jax.nn.log_sigmoid(-logits))

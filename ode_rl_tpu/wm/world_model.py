@@ -59,8 +59,13 @@ class WorldModel(nn.Module):
                                            param_dtype=self.param_dtype)
 
     # ------------------------------------------------------------------
-    def loss(self, batch: Dict, train: bool = True, step: int = 0):
-        """batch['image']: (B, T, H, W, C) in [-0.5, 0.5]."""
+    def loss(self, batch: Dict, train: bool = True, step: int = 0,
+             return_features: bool = False):
+        """batch['image']: (B, T, H, W, C) in [-0.5, 0.5].
+
+        ``return_features=True`` adds the posterior features to the
+        metrics under ``"_features"`` (consumed by the CATER classifier
+        path, which otherwise would re-run the encoder+observe)."""
         image = batch["image"].astype(self.dtype)
         key = self.make_rng("sample")
         embed = self.encoder(image)
@@ -96,6 +101,8 @@ class WorldModel(nn.Module):
             **{f"{k}_loss": v for k, v in losses.items()},
         }
         pred = mean.astype(jnp.float32)
+        if return_features:
+            metrics["_features"] = feat
         return model_loss, (metrics, pred)
 
     # ------------------------------------------------------------------

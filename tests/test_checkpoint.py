@@ -86,11 +86,31 @@ def test_restore_gan_snapshot_subset(tmp_path):
 
     ckpt = CheckpointManager(tmp_path, tag="gan")
     gen = {"dense": {"kernel": np.ones((2, 2), np.float32)}}
+    stats = {"batch_stats": {"bn": {"mean": np.full((4,), 0.7, np.float32)}}}
     disc = {"image": {"kernel": np.zeros((3,), np.float32)}}
-    ckpt.save(7, {"gen_params": gen, "disc_params": disc})
+    ckpt.save(7, {"gen_params": gen, "gen_model_state": stats,
+                  "disc_params": disc})
 
-    out = ckpt.restore({"gen_params": {"dense": {
-        "kernel": np.zeros((2, 2), np.float32)}}})
+    out = ckpt.restore(
+        {"gen_params": {"dense": {"kernel": np.zeros((2, 2), np.float32)}},
+         "gen_model_state": {"batch_stats": {"bn": {
+             "mean": np.zeros((4,), np.float32)}}}},
+        allow_missing=("gen_model_state",))
     assert out["step"] == 7
     np.testing.assert_array_equal(
         out["state"]["gen_params"]["dense"]["kernel"], 1.0)
+    # the generator's mutable state (BatchNorm running stats) restores too
+    np.testing.assert_allclose(
+        out["state"]["gen_model_state"]["batch_stats"]["bn"]["mean"],
+        np.float32(0.7))
+
+    # legacy GAN snapshots without gen_model_state degrade gracefully
+    ckpt2 = CheckpointManager(tmp_path / "old", tag="gan")
+    ckpt2.save(3, {"gen_params": gen, "disc_params": disc})
+    out2 = ckpt2.restore(
+        {"gen_params": {"dense": {"kernel": np.zeros((2, 2), np.float32)}},
+         "gen_model_state": {"batch_stats": {"bn": {
+             "mean": np.zeros((4,), np.float32)}}}},
+        allow_missing=("gen_model_state",))
+    np.testing.assert_array_equal(
+        out2["state"]["gen_model_state"]["batch_stats"]["bn"]["mean"], 0.0)

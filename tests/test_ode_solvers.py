@@ -276,3 +276,22 @@ def test_fast_windowed_fill_dense_output_grid():
                     max_steps=256)[0]))(a)
     g_exact = float(jnp.sum(-ts[:, None] * exact))
     np.testing.assert_allclose(float(g), g_exact, rtol=5e-3)
+
+
+def test_fast_windowed_fill_dense_grid_small_budget():
+    """The fill window widens with n_out so the dt cap never exhausts a
+    small step budget on dense output grids: 200 output points with
+    max_steps=48 must still converge (with _FILL_W fixed at 4 this would
+    need ≥50 accepted steps and silently truncate)."""
+    from ode_rl_tpu.ode.fast import odeint_fast
+
+    a = jnp.array(0.9)
+    func = lambda t, y, p: -p * y
+    ts = jnp.linspace(0.0, 1.0, 200)
+    y0 = jnp.array([1.0])
+    ys, stats = odeint_fast(func, y0, ts, a, rtol=1e-4, atol=1e-6,
+                            max_steps=48)
+    assert bool(stats.converged), int(stats.naccept)
+    exact = y0[None] * jnp.exp(-a * ts)[:, None]
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(exact),
+                               rtol=2e-3, atol=1e-5)
