@@ -186,7 +186,10 @@ def _build_spatial_dreamer(cfg):
         kl_scale=float(cfg.get("kl_scale", 1.0)),
         kl_free=float(cfg.get("kl_free", 1.0)),
         stochastic_gates=bool(cfg.get("stochastic_gates", True)),
-        sparsity_scale=float(cfg.get("sparsity_scale", 1e-3)),
+        sparsity_scale=float(cfg.get("sparsity_scale",
+                                     cfg.get("dyn_gate_scale", 0.1))),
+        gate_prior=float(cfg.get("dyn_gate_prior", 0.3)),
+        gate_free=float(cfg.get("dyn_gate_free", 0.0)),
         dtype=_compute_dtype(cfg),
     )
 

@@ -58,21 +58,32 @@ def frames_to_images(video: jnp.ndarray) -> jnp.ndarray:
 
 
 def rearrange_seq_extrap(seq: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-    """Sliding windows [context[i:], seq[:i+1]] channel-stacked —
-    (B, T, H, W, C) × context (B, T, H, W, C) → (B·T, H, W, T·C)."""
+    """Sliding windows [context[i:], seq[:i+1]] channel-stacked
+    (reference Vid-ODE/models/gan.py:93-128 get_real_fake_seqs).
+
+    Window i keeps ALL (t_ctx − i) + (i + 1) = t_ctx + 1 frames — the
+    reference sizes the sequence discriminator with ``seq_len += 1`` in
+    extrapolation mode (gan.py:174), so windows are one frame LONGER
+    than the prediction length, not truncated. Windows shorter than t
+    (unequal mode with t_ctx + 1 < t) are zero-padded on the left,
+    matching the reference's ``l < t`` branch.
+
+    (B, T, H, W, C) × context (B, T_ctx, H, W, C)
+        → (B·T, H, W, max(T_ctx+1, T)·C), frame-major channel packing.
+    """
     b, t, h, w, c = seq.shape
+    t_ctx = context.shape[1]
+    out_len = max(t_ctx + 1, t)
     outs = []
     for i in range(t):
-        tail = context[:, i:]
-        head = seq[:, : i + 1]
-        window = jnp.concatenate([tail, head], axis=1)
-        if window.shape[1] < t:
-            pad = jnp.zeros((b, t - window.shape[1], h, w, c), seq.dtype)
+        window = jnp.concatenate([context[:, i:], seq[:, : i + 1]], axis=1)
+        if window.shape[1] < out_len:
+            pad = jnp.zeros((b, out_len - window.shape[1], h, w, c),
+                            seq.dtype)
             window = jnp.concatenate([pad, window], axis=1)
-        window = window[:, -t:] if window.shape[1] > t else window
         outs.append(window)
-    stacked = jnp.concatenate(outs, axis=0)          # (B·T, T, H, W, C)
-    return jnp.moveaxis(stacked, 1, -2).reshape(b * t, h, w, t * c)
+    stacked = jnp.concatenate(outs, axis=0)    # (B·T, out_len, H, W, C)
+    return jnp.moveaxis(stacked, 1, -2).reshape(b * t, h, w, out_len * c)
 
 
 def rearrange_seq_interp(seq: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:

@@ -51,7 +51,8 @@ def make_gan_lr_schedule(cfg, steps_per_epoch: int):
 
 
 def create_gan_state(gen_model, cfg, sample_batch, rng,
-                     steps_per_epoch: int = 0) -> GANTrainState:
+                     steps_per_epoch: int = 0,
+                     extrap: bool = True) -> GANTrainState:
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     gen_vars = gen_model.init(
         {"params": r1, "sample": r2}, sample_batch, train=True,
@@ -63,9 +64,17 @@ def create_gan_state(gen_model, cfg, sample_batch, rng,
     d_seq = PatchDiscriminator()
     target = sample_batch["data_to_predict"]
     b, t, h, w, c = target.shape
+    # The seq discriminator's channel count depends on the rearrangement
+    # mode (extrap windows carry t_ctx+1 frames — reference gan.py:162-177
+    # create_netD sizing); derive it from the actual window builder.
+    rearrange = rearrange_seq_extrap if extrap else rearrange_seq_interp
+    seq_ch = rearrange(
+        jnp.zeros((1,) + target.shape[1:], target.dtype),
+        jnp.zeros((1,) + sample_batch["observed_data"].shape[1:],
+                  target.dtype)).shape[-1]
     disc_params = {
         "image": d_img.init(r3, jnp.zeros((1, h, w, c)))["params"],
-        "seq": d_seq.init(r4, jnp.zeros((1, h, w, t * c)))["params"],
+        "seq": d_seq.init(r4, jnp.zeros((1, h, w, seq_ch)))["params"],
     }
     schedule = make_gan_lr_schedule(cfg, steps_per_epoch)
     gen_tx = optax.adamax(schedule)

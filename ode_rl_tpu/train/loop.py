@@ -109,10 +109,11 @@ def train_gan(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     n_batches = (int(cfg.get("steps_per_epoch", 0))
                  or loaders["n_train_batches"])
     schedule = make_gan_lr_schedule(cfg, n_batches)
+    extrap = bool(cfg.get("extrapolate", True))
     state = create_gan_state(model, cfg, sample, rng,
-                             steps_per_epoch=n_batches)
+                             steps_per_epoch=n_batches, extrap=extrap)
     step_fn = make_gan_train_step(
-        model, extrap=cfg.get("extrapolate", True) or True,
+        model, extrap=extrap,
         lamb_adv=float(cfg.get("lamb_adv", 0.003)),
         lr_schedule=schedule)
 

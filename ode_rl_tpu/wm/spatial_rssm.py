@@ -27,8 +27,86 @@ State = Dict[str, jnp.ndarray]
 
 
 class StochasticConvGRUCell(nn.Module):
-    """ConvGRU whose update gate is a sampled Bernoulli mask (straight
-    through), encouraging sparse state updates; returns (h_next, gate)."""
+    """Skip-RNN-style ConvGRU (reference ModelBasedRL_TF_V2/networks.py
+    :625-677): a plain ConvGRU computes the candidate state, then a
+    learned per-CHANNEL Bernoulli gate decides whether each channel of
+    the spatial state updates at all this step.
+
+      h̃   = z·tanh(conv([x, r·h])) + (1−z)·h          (ConvGRU)
+      p̃   = σ(Dense_C(reshape(Dense_8(per-channel h̃ rows))))  (B, C)
+      p'  = u·p̃ + (1−u)·(p + min(1−p, p̃))             (skip accumulation)
+      u'  ~ Bernoulli(p')  straight-through             (tools.BernoulliDist)
+      h'  = tile(u')·h̃ + (1−tile(u'))·h                (per-channel gate)
+
+    The accumulation term grows the update probability while the gate
+    stays closed, so a channel cannot skip forever. Gate convs carry the
+    reference's bias_initializer quirks (ones for reset/update, zeros for
+    the candidate) and orthogonal kernels. With ``key=None`` the sample
+    is replaced by its probability (deterministic eval / parity tests).
+
+    Returns ``(h_next, u_sample', u_prob', u_logit)`` where u_logit = p̃
+    is what ``SpatialRSSM.sparsity_loss`` penalizes (networks.py:235-245
+    treats it as Bernoulli probs).
+    """
+
+    hidden_dim: int
+    kernel_size: int = 5
+    embed_dim: int = 8
+    skip: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, u_sample: jnp.ndarray,
+                 u_prob: jnp.ndarray, x: jnp.ndarray, key=None):
+        conv = lambda name, bias_init: nn.Conv(
+            self.hidden_dim, (self.kernel_size, self.kernel_size),
+            padding="SAME", dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.orthogonal(),
+            bias_init=bias_init, name=name)
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        stacked = jnp.concatenate([x, h], axis=-1)
+        update = jax.nn.sigmoid(conv("update", ones)(stacked))
+        reset = jax.nn.sigmoid(conv("reset", ones)(stacked))
+        cand = jnp.tanh(conv("out", zeros)(
+            jnp.concatenate([x, h * reset], axis=-1)))
+        h_tilde = update * cand + (1.0 - update) * h
+
+        # Per-channel gate head: (B, S, S, C) → rows (B, C, S²) →
+        # Dense(embed) → flatten → Dense(C) → σ (networks.py:659-661).
+        b, s1, s2, c = h_tilde.shape
+        rows = jnp.moveaxis(h_tilde, -1, 1).reshape(b, c, s1 * s2)
+        e = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="update_u1")(rows)
+        p_tilde = jax.nn.sigmoid(nn.Dense(
+            self.hidden_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="update_u2")(e.reshape(b, c * self.embed_dim)))
+
+        if self.skip:
+            new_u_prob = (u_sample * p_tilde
+                          + (1.0 - u_sample)
+                          * (u_prob + jnp.minimum(1.0 - u_prob, p_tilde)))
+        else:
+            new_u_prob = p_tilde
+
+        if key is None:
+            new_u_sample = new_u_prob     # deterministic expectation
+        else:
+            u = jax.random.uniform(key, new_u_prob.shape, new_u_prob.dtype)
+            hard = (u < new_u_prob).astype(new_u_prob.dtype)
+            new_u_sample = (hard + new_u_prob
+                            - jax.lax.stop_gradient(new_u_prob))
+
+        gate = new_u_sample[:, None, None, :]   # tile over space
+        h_next = gate * h_tilde + (1.0 - gate) * h
+        return h_next, new_u_sample, new_u_prob, p_tilde
+
+
+class TFConvGRUCell(nn.Module):
+    """Deterministic spatial ConvGRU (reference networks.py:598-623):
+    separate orthogonal-init update/reset/candidate convs, no
+    normalization — h' = z·tanh(conv([x, r·h])) + (1−z)·h."""
 
     hidden_dim: int
     kernel_size: int = 5
@@ -36,24 +114,17 @@ class StochasticConvGRUCell(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray, x: jnp.ndarray, key
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        conv = lambda f, name: nn.Conv(
-            f, (self.kernel_size, self.kernel_size), padding="SAME",
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        combined = jnp.concatenate([x, h], axis=-1)
-        gates = conv(2 * self.hidden_dim, "conv_gates")(combined)
-        z_logit, r_raw = jnp.split(gates, 2, axis=-1)
-        p = jax.nn.sigmoid(z_logit)
-        # Straight-through Bernoulli sample of the update gate.
-        u = jax.random.uniform(key, p.shape, p.dtype)
-        z_hard = (u < p).astype(p.dtype)
-        z = z_hard + p - jax.lax.stop_gradient(p)
-        r = jax.nn.sigmoid(r_raw)
-        cand = jnp.tanh(conv(self.hidden_dim, "conv_cand")(
-            jnp.concatenate([x, r * h], axis=-1)))
-        h_next = (1.0 - z) * h + z * cand
-        return h_next, p   # return gate probs for the sparsity loss
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda name: nn.Conv(
+            self.hidden_dim, (self.kernel_size, self.kernel_size),
+            padding="SAME", dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.orthogonal(), name=name)
+        stacked = jnp.concatenate([x, h], axis=-1)
+        update = jax.nn.sigmoid(conv("update")(stacked))
+        reset = jax.nn.sigmoid(conv("reset")(stacked))
+        cand = jnp.tanh(conv("out")(
+            jnp.concatenate([x, h * reset], axis=-1)))
+        return update * cand + (1.0 - update) * h
 
 
 class SpatialRSSM(nn.Module):
@@ -70,7 +141,6 @@ class SpatialRSSM(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        from ode_rl_tpu.nn.convgru import ConvGRUCell
         conv = lambda f, k, name: nn.Conv(
             f, (k, k), padding="SAME", dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
@@ -80,18 +150,25 @@ class SpatialRSSM(nn.Module):
                 hidden_dim=self.deter_ch, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="cell")
         else:
-            self._cell = ConvGRUCell(hidden_dim=self.deter_ch,
-                                     dtype=self.dtype,
-                                     param_dtype=self.param_dtype,
-                                     name="cell")
+            self._cell = TFConvGRUCell(hidden_dim=self.deter_ch,
+                                       dtype=self.dtype,
+                                       param_dtype=self.param_dtype,
+                                       name="cell")
         self._ims_stat = conv(2 * self.stoch_ch, 3, "ims")
         self._obs_stat = conv(2 * self.stoch_ch, 3, "obs")
 
     def initial(self, batch: int) -> State:
         hw = self.latent_hw
         z = lambda c: jnp.zeros((batch, hw, hw, c), self.dtype)
-        return {"mean": z(self.stoch_ch), "std": z(self.stoch_ch),
-                "stoch": z(self.stoch_ch), "deter": z(self.deter_ch)}
+        state = {"mean": z(self.stoch_ch), "std": z(self.stoch_ch),
+                 "stoch": z(self.stoch_ch), "deter": z(self.deter_ch)}
+        if self.stochastic_gates:
+            # Gate carries (reference networks.py:58-63 initial()): the
+            # Bernoulli sample, its accumulated probability, and the raw
+            # per-step gate probability the sparsity loss reads.
+            u = lambda: jnp.zeros((batch, self.deter_ch), self.dtype)
+            state.update(u_sample=u(), u_prob=u(), u_logit=u())
+        return state
 
     def get_feat(self, state: State) -> jnp.ndarray:
         return jnp.concatenate([state["stoch"], state["deter"]], -1)
@@ -105,15 +182,19 @@ class SpatialRSSM(nn.Module):
         k1, k2 = jax.random.split(key)
         x = self._in_conv(prev["stoch"])
         if self.stochastic_gates:
-            deter, gate_p = self._cell(prev["deter"], x, k1)
+            deter, u_sample, u_prob, u_logit = self._cell(
+                prev["deter"], prev["u_sample"], prev["u_prob"], x, k1)
+            gate_p = u_logit
         else:
             deter = self._cell(prev["deter"], x)
             gate_p = jnp.zeros((), self.dtype)
         stats = self._stats(self._ims_stat, deter)
         noise = jax.random.normal(k2, stats["mean"].shape, self.dtype)
         stoch = stats["mean"] + stats["std"] * noise
-        return ({"stoch": stoch, "deter": deter, **stats},
-                jnp.mean(gate_p))
+        prior = {"stoch": stoch, "deter": deter, **stats}
+        if self.stochastic_gates:
+            prior.update(u_sample=u_sample, u_prob=u_prob, u_logit=u_logit)
+        return prior, jnp.mean(gate_p)
 
     def obs_step(self, prev: State, embed: jnp.ndarray, key
                  ) -> Tuple[State, State, jnp.ndarray]:
@@ -124,6 +205,11 @@ class SpatialRSSM(nn.Module):
         noise = jax.random.normal(k2, stats["mean"].shape, self.dtype)
         stoch = stats["mean"] + stats["std"] * noise
         post = {"stoch": stoch, "deter": prior["deter"], **stats}
+        if self.stochastic_gates:
+            # posterior shares the prior's gate carries (reference
+            # networks.py:161-164)
+            post.update(u_sample=prior["u_sample"], u_prob=prior["u_prob"],
+                        u_logit=prior["u_logit"])
         return post, prior, gate_mean
 
     def observe(self, embed: jnp.ndarray, key,
@@ -174,6 +260,23 @@ class SpatialRSSM(nn.Module):
         kl = jnp.sum(kl, axis=(-3, -2, -1))
         return jnp.maximum(jnp.mean(kl), free)
 
+    def sparsity_loss(self, post: State, prior_prob: float = 0.3,
+                      free: float = 0.0, scale: float = 0.1,
+                      forward: bool = True):
+        """Gate-sparsity penalty (reference networks.py:235-245):
+        Bernoulli KL between a fixed gate prior Ber(prior_prob) and the
+        per-channel gate probabilities u_logit (the reference passes its
+        'u_logit' as probs), Independent over channels; forward=True is
+        KL(prior ‖ post), with free-bits floor and scale."""
+        eps = 1e-6
+        q = jnp.clip(post["u_logit"].astype(jnp.float32), eps, 1.0 - eps)
+        p = jnp.clip(jnp.full_like(q, prior_prob), eps, 1.0 - eps)
+        a, b = (p, q) if forward else (q, p)
+        kl = (a * jnp.log(a / b)
+              + (1.0 - a) * jnp.log((1.0 - a) / (1.0 - b)))
+        kl = jnp.sum(kl, axis=-1)            # Independent over channels
+        return jnp.maximum(jnp.mean(kl), free) * scale
+
 
 class SpatialWorldModel(nn.Module):
     """Trainable world model over the spatial RSSM — the
@@ -184,8 +287,9 @@ class SpatialWorldModel(nn.Module):
 
     Encoder keeps the spatial grid (stride-2 convs to latent_hw) instead
     of flattening; decoder mirrors it with transposed convs; loss =
-    image NLL + KL(post‖prior) + sparsity_scale · mean gate activation
-    (the Bernoulli-update-gate penalty, networks.py:598-677)."""
+    image NLL + KL(post‖prior) + gate-sparsity Bernoulli KL vs a fixed
+    prior (the s_convgru penalty, reference models.py:66-73 with
+    dyn_gate_prior/free/scale from its configs.yaml:50-52)."""
 
     image_shape: Tuple[int, int, int] = (64, 64, 1)
     stoch_ch: int = 16
@@ -195,7 +299,9 @@ class SpatialWorldModel(nn.Module):
     kl_scale: float = 1.0
     kl_free: float = 1.0
     stochastic_gates: bool = True
-    sparsity_scale: float = 1e-3
+    sparsity_scale: float = 0.1    # reference dyn_gate_scale default
+    gate_prior: float = 0.3        # reference dyn_gate_prior default
+    gate_free: float = 0.0         # reference dyn_gate_free default
     initial_frames: int = 10
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -242,6 +348,12 @@ class SpatialWorldModel(nn.Module):
                 [batch["observed_data"], batch["data_to_predict"]], axis=1)
             batch = {"image": video}
         image = batch["image"].astype(self.dtype)
+        if tuple(image.shape[2:]) != tuple(self.image_shape):
+            raise ValueError(
+                f"SpatialDreamer built for image_shape={self.image_shape} "
+                f"but the batch delivers {tuple(image.shape[2:])} — set "
+                "--resolution/--in_channels to the dataset's actual frame "
+                "geometry (MovingMNIST is fixed 64x64x1)")
         key = self.make_rng("sample")
         embed = self._encode(image)
         post, prior, gate_mean = self.dynamics.observe(embed, key)
@@ -253,7 +365,12 @@ class SpatialWorldModel(nn.Module):
                        - image.astype(jnp.float32)) ** 2),
             axis=(-3, -2, -1))
         recon = -jnp.mean(img_lp)
-        sparsity = self.sparsity_scale * gate_mean
+        if self.stochastic_gates:
+            sparsity = self.dynamics.sparsity_loss(
+                post, prior_prob=self.gate_prior, free=self.gate_free,
+                scale=self.sparsity_scale)
+        else:
+            sparsity = jnp.zeros((), jnp.float32)
         total = recon + self.kl_scale * kl + sparsity
         metrics = {"loss": total, "image_loss": recon, "kl_loss": kl,
                    "gate_mean": gate_mean, "sparsity_loss": sparsity}

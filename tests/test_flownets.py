@@ -86,7 +86,9 @@ def test_rearrange_seq_shapes():
     ctx = jax.random.uniform(jax.random.key(1), (2, 4, 8, 8, 1))
     ex = rearrange_seq_extrap(seq, ctx)
     it = rearrange_seq_interp(seq, ctx)
-    assert ex.shape == (8, 8, 8, 4)
+    # extrap windows carry t_ctx+1 frames (reference gan.py:174 sizes the
+    # seq discriminator with seq_len+1 in extrapolation mode)
+    assert ex.shape == (8, 8, 8, 5)
     assert it.shape == (8, 8, 8, 4)
 
 

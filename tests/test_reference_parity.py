@@ -388,3 +388,305 @@ def test_s3vae_mi_estimate_vs_reference(ref_s3vae_cls):
     ours = float(mi_estimate(tf(mu_t), tf(std_t), tf(mu_t),
                              bf(mu_f), bf(std_f), bf(mu_f), log_nm))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+# ----------------------- Vid-ODE GAN oracles --------------------------------
+
+@pytest.fixture(scope="module")
+def ref_vidode_gan():
+    """Load the Vid-ODE sub-repo's gan.py (reference
+    Vid-ODE/models/gan.py) directly — the Discriminator class carries the
+    rearrangement and LSGAN loss logic we pin against."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_vidode_gan", REF / "Vid-ODE/models/gan.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_vidode_gan"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_vidode_model_mod():
+    """Load Vid-ODE/models/conv_odegru.py as package 'models' member so
+    its intra-package imports resolve; torchdiffeq is shimmed (only
+    DiffeqSolver.forward uses it, which these tests never call)."""
+    vidode_root = REF / "Vid-ODE"
+    if "torchdiffeq" not in sys.modules:
+        td = types.ModuleType("torchdiffeq")
+        td.odeint = None
+        sys.modules["torchdiffeq"] = td
+    pkg = types.ModuleType("models")
+    pkg.__path__ = [str(vidode_root / "models")]
+    sys.modules["models"] = pkg
+    sys.path.insert(0, str(vidode_root))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "models.conv_odegru", vidode_root / "models/conv_odegru.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["models.conv_odegru"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(vidode_root))
+    return mod
+
+
+def _nchw(x_nhwc):
+    return np.moveaxis(np.asarray(x_nhwc), -1, 1)
+
+
+def test_gan_rearrange_seq_extrap_vs_reference(ref_vidode_gan, monkeypatch):
+    """Extrapolation windows (reference gan.py:93-136): window i is
+    [input_real[i:], fake[:i+1]] — t_ctx+1 frames, frame-major channel
+    packing, windows-major batch stacking. Equal and unequal (zero-pad)
+    both pinned."""
+    from ode_rl_tpu.nn.discriminators import rearrange_seq_extrap
+
+    # get_real_fake_seqs calls input_real.get_device() and .to(device) in
+    # the pad branch — route both to CPU for the oracle run.
+    monkeypatch.setattr(torch.Tensor, "get_device",
+                        lambda self: torch.device("cpu"))
+
+    rng = np.random.RandomState(0)
+    for t_ctx, t in [(4, 4), (2, 5)]:   # equal; unequal with zero-pad
+        b, c, h, w = 2, 3, 6, 6
+        real = rng.randn(b, t, h, w, c).astype(np.float32)
+        fake = rng.randn(b, t, h, w, c).astype(np.float32)
+        ctx = rng.randn(b, t_ctx, h, w, c).astype(np.float32)
+
+        d = ref_vidode_gan.Discriminator.__new__(ref_vidode_gan.Discriminator)
+        torch.nn.Module.__init__(d)
+        d.seq, d.is_extrap, d.device = True, True, torch.device("cpu")
+        # torch side is (B, T, C, H, W)
+        tt = lambda x: torch.from_numpy(np.moveaxis(x, -1, 2).copy())
+        ref_real, ref_fake = d.rearrange_seq(
+            tt(real), tt(fake), tt(ctx), only_fake=False)
+
+        ours_fake = _nchw(rearrange_seq_extrap(jnp.asarray(fake),
+                                               jnp.asarray(ctx)))
+        ours_real = _nchw(rearrange_seq_extrap(jnp.asarray(real),
+                                               jnp.asarray(ctx)))
+        np.testing.assert_allclose(ours_fake, ref_fake.numpy(), atol=1e-6)
+        np.testing.assert_allclose(ours_real, ref_real.numpy(), atol=1e-6)
+
+
+def test_gan_rearrange_seq_interp_vs_reference(ref_vidode_gan, monkeypatch):
+    """Interpolation windows (reference gan.py:138-159): identity-masked
+    single-frame swaps of the real context."""
+    from ode_rl_tpu.nn.discriminators import rearrange_seq_interp
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    rng = np.random.RandomState(1)
+    b, t, c, h, w = 2, 4, 3, 6, 6
+    fake = rng.randn(b, t, h, w, c).astype(np.float32)
+    real = rng.randn(b, t, h, w, c).astype(np.float32)
+    ctx = rng.randn(b, t, h, w, c).astype(np.float32)
+
+    d = ref_vidode_gan.Discriminator.__new__(ref_vidode_gan.Discriminator)
+    torch.nn.Module.__init__(d)
+    d.seq, d.is_extrap, d.device = True, False, torch.device("cpu")
+    tt = lambda x: torch.from_numpy(np.moveaxis(x, -1, 2).copy())
+    ref_real, ref_fake = d.rearrange_seq_interp(
+        tt(real), tt(fake), tt(ctx), only_fake=False)
+
+    ours_fake = _nchw(rearrange_seq_interp(jnp.asarray(fake),
+                                           jnp.asarray(ctx)))
+    ours_real = _nchw(rearrange_seq_interp(jnp.asarray(real),
+                                           jnp.asarray(ctx)))
+    np.testing.assert_allclose(ours_fake, ref_fake.numpy(), atol=1e-6)
+    np.testing.assert_allclose(ours_real, ref_real.numpy(), atol=1e-6)
+
+
+def _copy_disc_weights(params, ref_d):
+    """Our PatchDiscriminator params → reference Discriminator layers."""
+    pairs = [("l1", ref_d.layer_1[0]), ("l2", ref_d.layer_2.main[0]),
+             ("l3", ref_d.layer_3.main[0]), ("l4", ref_d.layer_4.main[0]),
+             ("last", ref_d.last_conv)]
+    with torch.no_grad():
+        for name, conv in pairs:
+            conv.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(params[name]["kernel"]), (3, 2, 0, 1))))
+            if conv.bias is not None:
+                conv.bias.copy_(torch.from_numpy(
+                    np.asarray(params[name]["bias"])))
+
+
+def test_gan_adv_losses_vs_reference(ref_vidode_gan, monkeypatch):
+    """Full netD/netG LSGAN losses under identical discriminator weights
+    (reference gan.py:51-91), both the per-sequence (extrap windows) and
+    the per-image discriminator paths."""
+    import jax as _jax
+
+    from ode_rl_tpu.nn.discriminators import (
+        PatchDiscriminator, frames_to_images, lsgan_d_loss, lsgan_g_loss,
+        rearrange_seq_extrap)
+
+    monkeypatch.setattr(torch.Tensor, "get_device",
+                        lambda self: torch.device("cpu"))
+
+    rng = np.random.RandomState(2)
+    b, t, c, h, w = 2, 3, 1, 16, 16
+    real = rng.rand(b, t, h, w, c).astype(np.float32)
+    fake = rng.rand(b, t, h, w, c).astype(np.float32)
+    ctx = rng.rand(b, t, h, w, c).astype(np.float32)
+    tt = lambda x: torch.from_numpy(np.moveaxis(x, -1, 2).copy())
+
+    disc = PatchDiscriminator()
+    for seq_mode in (True, False):
+        in_ch = (t + 1) * c if seq_mode else c
+        sample = (rearrange_seq_extrap(jnp.asarray(fake), jnp.asarray(ctx))
+                  if seq_mode else frames_to_images(jnp.asarray(fake)))
+        params = disc.init(_jax.random.key(0), sample)["params"]
+
+        ref_d = ref_vidode_gan.Discriminator(
+            in_ch=in_ch, device=torch.device("cpu"), seq=seq_mode,
+            is_extrap=True)
+        _copy_disc_weights(params, ref_d)
+        ref_d.eval()
+
+        with torch.no_grad():
+            ref_dl = float(ref_d.netD_adv_loss(tt(real), tt(fake),
+                                               tt(ctx) if seq_mode else None))
+            ref_gl = float(ref_d.netG_adv_loss(tt(real), tt(fake),
+                                               tt(ctx) if seq_mode else None))
+
+        rearr = (lambda v: rearrange_seq_extrap(v, jnp.asarray(ctx))) \
+            if seq_mode else frames_to_images
+        pr = disc.apply({"params": params}, rearr(jnp.asarray(real)))
+        pf = disc.apply({"params": params}, rearr(jnp.asarray(fake)))
+        np.testing.assert_allclose(float(lsgan_d_loss(pr, pf)), ref_dl,
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(float(lsgan_g_loss(pf)), ref_gl,
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_vidode_warp_chain_vs_reference(ref_vidode_model_mod):
+    """Recursive flow warping (reference conv_odegru.py:388-413
+    get_warped_images): per-step flow normalization by (w-1)/2,(h-1)/2,
+    grid_sample border padding, each warp feeding the next. The reference
+    method reads nothing from self → called unbound."""
+    from ode_rl_tpu.ops.warp import grid_sample as our_grid_sample
+
+    rng = np.random.RandomState(3)
+    b, t, c, h, w = 2, 4, 3, 9, 11
+    flows = (2.0 * rng.randn(b, t, h, w, 2)).astype(np.float32)
+    start = rng.rand(b, h, w, c).astype(np.float32)
+
+    # reference grid (conv_odegru.py:253-256): linspace(-1, 1) lattice,
+    # NHW2 xy order; grid_sample runs at torch's DEFAULT
+    # align_corners=False — the reference mixes the (w-1)/2 flow
+    # normalization with align_corners=False sampling, and we reproduce
+    # that mix exactly (models/vidode.py does the same).
+    xs = np.linspace(-1.0, 1.0, w, dtype=np.float32)
+    ys = np.linspace(-1.0, 1.0, h, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys)
+    grid = np.broadcast_to(np.stack([gx, gy], -1), (b, h, w, 2)).copy()
+
+    VidODE = ref_vidode_model_mod.VidODE
+    ref_out = VidODE.get_warped_images(
+        None,
+        torch.from_numpy(np.moveaxis(flows, -1, 2).copy()),
+        torch.from_numpy(np.moveaxis(start, -1, 1).copy()),
+        torch.from_numpy(grid))
+    ref_seq = torch.cat(ref_out, dim=1).numpy()      # (B, T, C, H, W)
+
+    # ours: the lax.scan warp chain exactly as models/vidode.py runs it
+    norm = jnp.array([(w - 1.0) / 2.0, (h - 1.0) / 2.0], jnp.float32)
+    base = jnp.asarray(grid)
+
+    def step(last, fl):
+        warped = our_grid_sample(last, base + fl / norm, padding="border")
+        return warped, warped
+
+    _, ours_seq = jax.lax.scan(step, jnp.asarray(start),
+                               jnp.moveaxis(jnp.asarray(flows), 0, 1))
+    ours = np.moveaxis(np.asarray(jnp.moveaxis(ours_seq, 0, 1)), -1, 2)
+    np.testing.assert_allclose(ours, ref_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_vidode_flowmap_shifted_latents_vs_reference(ref_vidode_model_mod):
+    """get_flowmaps (reference conv_odegru.py:361-386) feeds the decoder
+    [sol_out[t], prev] with prev = previous latent (seeded by the last
+    observed embed) — our batched shifted-latent concat must produce the
+    identical decoder input stream. Oracle runs with a linear 'decoder'
+    so outputs pin the input construction exactly."""
+    rng = np.random.RandomState(4)
+    b, t, c, h, w = 2, 5, 4, 3, 3
+    sol = rng.randn(b, t, c, h, w).astype(np.float32)
+    first_prev = rng.randn(b, c, h, w).astype(np.float32)
+    mask = torch.ones(b, t, 1)
+
+    dec = torch.nn.Conv2d(2 * c, 2, 1, bias=False)
+    ns = types.SimpleNamespace(decoder=dec)
+    VidODE = ref_vidode_model_mod.VidODE
+    with torch.no_grad():
+        ref_flows = torch.cat(VidODE.get_flowmaps(
+            ns, torch.from_numpy(sol), torch.from_numpy(first_prev), mask),
+            dim=1).numpy()                            # (B, T, 2, H, W)
+
+    # ours (models/vidode.py:134-140): prev_seq = [skip_embed, sol[:-1]]
+    prev = np.concatenate([first_prev[:, None], sol[:, :-1]], axis=1)
+    dec_in = np.concatenate([sol, prev], axis=2).reshape(b * t, 2 * c, h, w)
+    with torch.no_grad():
+        ours = dec(torch.from_numpy(dec_in)).numpy().reshape(b, t, 2, h, w)
+    np.testing.assert_allclose(ours, ref_flows, rtol=1e-5, atol=1e-6)
+
+
+# ----------------------- ConvLSTM sub-repo oracle ---------------------------
+
+@pytest.fixture(scope="module")
+def ref_convrnn():
+    """Load the ConvLSTM-PyTorch sub-repo's ConvRNN.py (CLSTM_cell with
+    the fused 4-gate conv + GroupNorm)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_convrnn", REF / "ConvLSTM-PyTorch/ConvRNN.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_convrnn"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_convlstm_cell_sequence_vs_reference(ref_convrnn):
+    """Our ConvLSTMCell scan vs the reference CLSTM_cell.forward
+    (ConvRNN.py:70-120): fused conv → GroupNorm(4F/32) → i,f,g,o split,
+    c' = f·c + i·g, h' = o·tanh(c'), over a 4-step sequence with explicit
+    initial state (avoids the .cuda() zero-init path)."""
+    from ode_rl_tpu.models.convlstm import ConvLSTMCell
+
+    f, cin, b, hw, t = 32, 32, 2, 8, 4
+    rng = np.random.RandomState(0)
+    xs = rng.randn(t, b, hw, hw, cin).astype(np.float32) * 0.5
+    h0 = rng.randn(b, hw, hw, f).astype(np.float32) * 0.1
+    c0 = rng.randn(b, hw, hw, f).astype(np.float32) * 0.1
+
+    cell = ConvLSTMCell(num_features=f, filter_size=5)
+    params = cell.init(jax.random.key(0),
+                       (jnp.asarray(h0), jnp.asarray(c0)),
+                       jnp.asarray(xs[0]))["params"]
+
+    carry = (jnp.asarray(h0), jnp.asarray(c0))
+    ours = []
+    for i in range(t):
+        carry, h = cell.apply({"params": params}, carry, jnp.asarray(xs[i]))
+        ours.append(np.asarray(h))
+    ours = np.stack(ours)                          # (T, B, H, W, F)
+
+    ref_cell = ref_convrnn.CLSTM_cell(shape=(hw, hw), input_channels=cin,
+                                      filter_size=5, num_features=f)
+    with torch.no_grad():
+        ref_cell.conv[0].weight.copy_(torch.from_numpy(np.transpose(
+            np.asarray(params["gates"]["kernel"]), (3, 2, 0, 1))))
+        ref_cell.conv[0].bias.copy_(torch.from_numpy(
+            np.asarray(params["gates"]["bias"])))
+        ref_cell.conv[1].weight.copy_(torch.from_numpy(
+            np.asarray(params["norm"]["scale"])))
+        ref_cell.conv[1].bias.copy_(torch.from_numpy(
+            np.asarray(params["norm"]["bias"])))
+        xs_t = torch.from_numpy(np.moveaxis(xs, -1, 2).copy())
+        h0_t = torch.from_numpy(np.moveaxis(h0, -1, 1).copy())
+        c0_t = torch.from_numpy(np.moveaxis(c0, -1, 1).copy())
+        outs, _ = ref_cell(inputs=xs_t, hidden_state=(h0_t, c0_t),
+                           seq_len=t)
+    ref = np.moveaxis(outs.numpy(), 2, -1)         # (T, B, H, W, F)
+    # conv-backend accumulation noise compounds over the recurrence
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
