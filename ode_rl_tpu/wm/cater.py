@@ -230,6 +230,7 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
     from ode_rl_tpu.core.checkpoint import CheckpointManager
     from ode_rl_tpu.core.logging import MetricLogger
     from ode_rl_tpu.wm.classifier import (mean_average_precision,
+                                          reference_map_precision,
                                           top_k_accuracy)
     from ode_rl_tpu.wm.world_model import world_model_optimizer
 
@@ -320,7 +321,8 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
         rand = jax.random.normal(jax.random.key(123), logits.shape)
         return (float(mean_average_precision(logits, labels)),
                 float(top_k_accuracy(logits, labels, 5)),
-                float(mean_average_precision(rand, labels)))
+                float(mean_average_precision(rand, labels)),
+                float(reference_map_precision(logits, labels)))
 
     run_id = cfg.get("id", "cater_classifier")
     logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / "CATER" / run_id
@@ -340,9 +342,12 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
             last = {k: float(v) for k, v in jax.device_get(metrics).items()}
             logger.log(step, last)
 
-    val_map, val_top5, rand_map = evaluate(state, key)
+    val_map, val_top5, rand_map, val_map_ref = evaluate(state, key)
     final = {"val_mAP": val_map, "val_top5": val_top5,
-             "random_mAP_baseline": rand_map, "steps": steps}
+             "random_mAP_baseline": rand_map,
+             # the reference's own "mAP" (threshold-0.5 precision,
+             # dreamerv2/tools.py:355-377) for comparability
+             "val_mAP_reference_metric": val_map_ref, "steps": steps}
     logger.log(steps, final)
     ckpt.save(steps, {"wm": state["wm"], "clf": state["clf"]},
               config=cfg.to_dict())

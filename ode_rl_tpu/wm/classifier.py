@@ -49,10 +49,26 @@ class FeatureClassifier(nn.Module):
         return loss, metrics
 
 
+def reference_map_precision(logits: jnp.ndarray, labels: jnp.ndarray,
+                            from_logits: bool = True) -> jnp.ndarray:
+    """The metric the reference CALLS mAP (dreamerv2/tools.py:355-377):
+    per-class precision at a fixed 0.5 threshold, TP/(TP+FP+1e-6),
+    averaged over classes — not a ranked average precision. Shipped
+    verbatim so numbers are comparable with the reference's published
+    metric; ``mean_average_precision`` below is the proper ranked mAP."""
+    p = jax.nn.sigmoid(logits) if from_logits else logits
+    pred = p > 0.5
+    y = labels.astype(jnp.float32)
+    tp = jnp.sum((y == 1.0) & pred, axis=0).astype(jnp.float32)
+    fp = jnp.sum((y == 0.0) & pred, axis=0).astype(jnp.float32)
+    return jnp.mean(tp / (tp + fp + 1e-6))
+
+
 def mean_average_precision(logits: jnp.ndarray, labels: jnp.ndarray
                            ) -> jnp.ndarray:
-    """Multilabel mAP: mean over classes of average precision, computed
-    on-device (reference tools.mAP)."""
+    """Multilabel mAP: mean over classes of ranked average precision,
+    computed on-device. (Stricter than the reference's threshold metric
+    — see reference_map_precision.)"""
     b, c = logits.shape
 
     def ap_for_class(scores, y):

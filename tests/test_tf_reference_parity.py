@@ -257,3 +257,35 @@ def test_stochastic_convgru_cell_vs_reference(ref_tf):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ul_n), ul_r.numpy(), rtol=1e-5,
                                atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_dv2_tools(ref_tf):
+    """dreamerv2/tools.py (the CATER-classifier fork's tools) — same
+    import surface as ModelBasedRL's, so the shims are already in."""
+    dv2 = pathlib.Path("/root/reference/dreamerv2")
+    spec = importlib.util.spec_from_file_location("ref_dv2_tools",
+                                                  dv2 / "tools.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_dv2_tools"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_reference_map_metric_vs_tf_reference(ref_dv2_tools):
+    """The reference's tools.mAP (dreamerv2/tools.py:355-377) is a
+    running threshold-0.5 precision averaged over classes; our
+    reference_map_precision must reproduce it exactly (single update)."""
+    from ode_rl_tpu.wm.classifier import reference_map_precision
+
+    rng = np.random.RandomState(5)
+    b, c = 32, 14
+    logits = (3.0 * rng.randn(b, c)).astype(np.float32)
+    labels = (rng.rand(b, c) > 0.6).astype(np.float32)
+
+    m = ref_dv2_tools.mAP(c, logits=True)
+    m.update_state(tf.constant(labels), tf.constant(logits))
+    ref = float(m.result())
+    ours = float(reference_map_precision(jnp.asarray(logits),
+                                         jnp.asarray(labels)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
