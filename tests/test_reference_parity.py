@@ -690,3 +690,86 @@ def test_convlstm_cell_sequence_vs_reference(ref_convrnn):
     ref = np.moveaxis(outs.numpy(), 2, -1)         # (T, B, H, W, F)
     # conv-backend accumulation noise compounds over the recurrence
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+# ----------------------- code_sprite DS-VAE oracle --------------------------
+
+@pytest.fixture(scope="module")
+def ref_dsvae_cls():
+    """Load code_sprite/models/DS_VAE.py and return the
+    DisentangledVAE_ICLR_V1 class (instantiated via __new__ with only the
+    prior attributes in the test)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_dsvae", REF / "code_sprite/models/DS_VAE.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_dsvae"] = mod
+    spec.loader.exec_module(mod)
+    return mod.DisentangledVAE_ICLR_V1
+
+
+def _flax_lstm_to_torch(p, t_cell):
+    """flax OptimizedLSTMCell params (ii/if/ig/io input denses, hi/hf/hg/ho
+    hidden denses with bias) → torch LSTMCell (weight_ih/hh rows i,f,g,o;
+    flax keeps the bias on the hidden side, torch adds bias_ih+bias_hh so
+    bias_ih := 0)."""
+    order = ["i", "f", "g", "o"]
+    w_ih = np.concatenate([np.asarray(p[f"i{g}"]["kernel"]).T
+                           for g in order])
+    w_hh = np.concatenate([np.asarray(p[f"h{g}"]["kernel"]).T
+                           for g in order])
+    b_hh = np.concatenate([np.asarray(p[f"h{g}"]["bias"]) for g in order])
+    with torch.no_grad():
+        t_cell.weight_ih.copy_(torch.from_numpy(w_ih))
+        t_cell.weight_hh.copy_(torch.from_numpy(w_hh))
+        t_cell.bias_ih.zero_()
+        t_cell.bias_hh.copy_(torch.from_numpy(b_hh))
+
+
+def test_dsvae_prior_rollout_vs_reference(ref_dsvae_cls, monkeypatch):
+    """Teacher-forced learned LSTM prior (reference DS_VAE.py
+    sample_z_prior_train, :430-465): two stacked LSTMCells fed z_post
+    with zero initial states, mean/logvar heads per step. Teacher forcing
+    makes the (means, logvars) stream sample-independent, so it pins the
+    whole rollout deterministically."""
+    from ode_rl_tpu.sprite.dsvae import DisentangledVAE
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    z_dim, hidden, b, t = 6, 10, 3, 5
+    rng = np.random.RandomState(7)
+    z_post = rng.randn(b, t, z_dim).astype(np.float32)
+
+    model = DisentangledVAE(f_dim=8, z_dim=z_dim, g_dim=8, channels=1,
+                            hidden_dim=hidden)
+    v = model.init(jax.random.key(0), t, jax.random.key(1),
+                   jnp.asarray(z_post), method=model._prior_rollout)
+    means, logvars, _ = model.apply(v, t, jax.random.key(2),
+                                    jnp.asarray(z_post),
+                                    method=model._prior_rollout)
+    params = v["params"]
+
+    m = ref_dsvae_cls.__new__(ref_dsvae_cls)
+    torch.nn.Module.__init__(m)
+    m.z_dim, m.hidden_dim, m.frames = z_dim, hidden, t
+    m.z_prior_lstm_ly1 = torch.nn.LSTMCell(z_dim, hidden)
+    m.z_prior_lstm_ly2 = torch.nn.LSTMCell(hidden, hidden)
+    m.z_prior_mean = torch.nn.Linear(hidden, z_dim)
+    m.z_prior_logvar = torch.nn.Linear(hidden, z_dim)
+    _flax_lstm_to_torch(params["prior_ly1"], m.z_prior_lstm_ly1)
+    _flax_lstm_to_torch(params["prior_ly2"], m.z_prior_lstm_ly2)
+    with torch.no_grad():
+        m.z_prior_mean.weight.copy_(torch.from_numpy(np.asarray(
+            params["z_prior_mean"]["kernel"]).T))
+        m.z_prior_mean.bias.copy_(torch.from_numpy(np.asarray(
+            params["z_prior_mean"]["bias"])))
+        m.z_prior_logvar.weight.copy_(torch.from_numpy(np.asarray(
+            params["z_prior_logvar"]["kernel"]).T))
+        m.z_prior_logvar.bias.copy_(torch.from_numpy(np.asarray(
+            params["z_prior_logvar"]["bias"])))
+        ref_means, ref_logvars, _ = m.sample_z_prior_train(
+            torch.from_numpy(z_post), random_sampling=False)
+
+    np.testing.assert_allclose(np.asarray(means), ref_means.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logvars), ref_logvars.numpy(),
+                               rtol=1e-5, atol=1e-6)
