@@ -773,3 +773,61 @@ def test_dsvae_prior_rollout_vs_reference(ref_dsvae_cls, monkeypatch):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(logvars), ref_logvars.numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+# ----------------------- flownet2 loss oracles -------------------------------
+
+@pytest.fixture(scope="module")
+def ref_fn2_losses():
+    spec = importlib.util.spec_from_file_location(
+        "ref_fn2_losses", REF / "flownet2-pytorch/losses.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_fn2_losses"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_flow_losses_vs_reference(ref_fn2_losses):
+    """EPE / L1 / L2 (flownet2-pytorch/losses.py:11-27) on random flows."""
+    from ode_rl_tpu.flow.losses import epe, l1_loss, l2_loss
+
+    rng = np.random.RandomState(8)
+    a = rng.randn(2, 12, 16, 2).astype(np.float32)
+    b = rng.randn(2, 12, 16, 2).astype(np.float32)
+    at, bt = _t(a), _t(b)
+
+    np.testing.assert_allclose(float(epe(jnp.asarray(a), jnp.asarray(b))),
+                               float(ref_fn2_losses.EPE(at, bt)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(l1_loss(jnp.asarray(a), jnp.asarray(b))),
+        float(ref_fn2_losses.L1()(at, bt)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(l2_loss(jnp.asarray(a), jnp.asarray(b))),
+        float(ref_fn2_losses.L2()(at, bt)), rtol=1e-5)
+
+
+def test_multiscale_loss_reference_vs_reference(ref_fn2_losses):
+    """multiscale_loss_reference reproduces the reference MultiScale
+    (losses.py:52-80) exactly: div_flow target scaling, avg-pool pyramid,
+    l_weight/2^i weights, weighted EPE side-channel. (The training path's
+    multiscale_loss uses a per-scale pixel-units convention — documented
+    deviation.)"""
+    from ode_rl_tpu.flow.losses import multiscale_loss_reference
+
+    rng = np.random.RandomState(9)
+    h, w = 64, 64
+    target = (4.0 * rng.randn(2, h, w, 2)).astype(np.float32)
+    pyramid = [rng.randn(2, h // (4 * 2 ** i), w // (4 * 2 ** i), 2
+                         ).astype(np.float32) * 0.1 for i in range(5)]
+
+    for norm in ("L1", "L2"):
+        ref_ms = ref_fn2_losses.MultiScale(args=None, norm=norm)
+        ref_loss, ref_epe = ref_ms(tuple(_t(p) for p in pyramid),
+                                   _t(target))
+        ours_loss, ours_epe = multiscale_loss_reference(
+            [jnp.asarray(p) for p in pyramid], jnp.asarray(target),
+            norm=norm.lower())
+        np.testing.assert_allclose(float(ours_loss), float(ref_loss),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(ours_epe), float(ref_epe),
+                                   rtol=1e-4)
