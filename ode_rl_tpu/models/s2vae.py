@@ -114,6 +114,23 @@ class _SlotCGRURollout(nn.Module):
         return roll, conv("mu")(roll), conv("logvar")(roll)
 
 
+def s2vae_vae_loss(x_hat, target, post_mu, post_std, prior_mu, prior_std):
+    """The S2VAE ELBO terms exactly as the reference computes them
+    (models/S2VAE.py:204-220 get_vae_loss): sum-reduced MSE over the
+    whole batch divided by B·T, plus the closed-form Gaussian
+    KL(post ‖ prior) expressed through log-variances, also sum-reduced
+    and divided by B·T. Returns (recon, kl); pinned against the
+    reference source in tests/test_reference_parity.py."""
+    b, t = x_hat.shape[:2]
+    recon = jnp.sum(jnp.square(x_hat - target)) / (b * t)
+    pri_lv, post_lv = 2 * jnp.log(prior_std), 2 * jnp.log(post_std)
+    kl = 0.5 * jnp.sum(
+        pri_lv - post_lv
+        + (jnp.exp(post_lv) + (post_mu - prior_mu) ** 2) / jnp.exp(pri_lv)
+        - 1) / (b * t)
+    return recon, kl
+
+
 class S2VAEModel(nn.Module):
     in_channels: int = 1
     d_zf: int = 128
@@ -248,18 +265,12 @@ class S2VAEModel(nn.Module):
     def loss(self, batch: Dict, train: bool = True):
         x_hat, aux = self.predict(batch, train=train)
         target = batch["data_to_predict"].astype(jnp.float32) + 0.5
-        b, t = x_hat.shape[:2]
-
-        recon = jnp.sum(jnp.square(x_hat - target)) / (b * t)
-        post_mu = aux["post_mu"].astype(jnp.float32)
-        post_std = aux["post_std"].astype(jnp.float32)
-        pri_mu = aux["prior_mu"].astype(jnp.float32)
-        pri_std = aux["prior_std"].astype(jnp.float32)
-        pri_lv, post_lv = 2 * jnp.log(pri_std), 2 * jnp.log(post_std)
-        kl = 0.5 * jnp.sum(
-            pri_lv - post_lv
-            + (jnp.exp(post_lv) + (post_mu - pri_mu) ** 2) / jnp.exp(pri_lv)
-            - 1) / (b * t)
+        recon, kl = s2vae_vae_loss(
+            x_hat, target,
+            aux["post_mu"].astype(jnp.float32),
+            aux["post_std"].astype(jnp.float32),
+            aux["prior_mu"].astype(jnp.float32),
+            aux["prior_std"].astype(jnp.float32))
         loss = recon + kl
         metrics = {"loss": loss, "vae_loss": loss, "recon_loss": recon,
                    "kl_loss": kl}

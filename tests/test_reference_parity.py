@@ -831,3 +831,54 @@ def test_multiscale_loss_reference_vs_reference(ref_fn2_losses):
                                    rtol=1e-4)
         np.testing.assert_allclose(float(ours_epe), float(ref_epe),
                                    rtol=1e-4)
+
+
+def test_s2vae_vae_loss_vs_reference(ref_modules):
+    """S2VAE ELBO terms (reference models/S2VAE.py:204-220): sum-MSE/B·T
+    reconstruction + closed-form Gaussian KL via log-variances, both
+    evaluated by the reference's own get_vae_loss under identical
+    tensors. (ref_modules provides the skimage/torchdiffeq shims the
+    helpers import chain needs.)"""
+    if "wandb" not in sys.modules:
+        wb = types.ModuleType("wandb")
+        wb.log = lambda *a, **k: None
+        sys.modules["wandb"] = wb
+    sys.path.insert(0, str(REF))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_s2vae", REF / "models/S2VAE.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_s2vae"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(REF))
+
+    from ode_rl_tpu.models.s2vae import s2vae_vae_loss
+
+    rng = np.random.RandomState(10)
+    b, t, c, h, w = 2, 4, 1, 8, 8
+    slots, sdim = 3, 6
+    x = rng.rand(b, t, c, h, w).astype(np.float32)
+    x_hat = rng.rand(b, t, c, h, w).astype(np.float32)
+    post_mu = rng.randn(b, slots, t, sdim).astype(np.float32)
+    post_std = (0.2 + rng.rand(b, slots, t, sdim)).astype(np.float32)
+    pri_mu = rng.randn(b, slots, t, sdim).astype(np.float32)
+    pri_std = (0.2 + rng.rand(b, slots, t, sdim)).astype(np.float32)
+
+    m = mod.S2VAE.__new__(mod.S2VAE)
+    torch.nn.Module.__init__(m)
+    m.opt = types.SimpleNamespace(batch_size=b)
+    m.ground_truth = torch.from_numpy(x)
+    m.slot_z_post = torch.distributions.Normal(torch.from_numpy(post_mu),
+                                               torch.from_numpy(post_std))
+    m.slot_z_prior = torch.distributions.Normal(torch.from_numpy(pri_mu),
+                                                torch.from_numpy(pri_std))
+    m.get_vae_loss(torch.from_numpy(x_hat))
+    ref_recon, ref_kl = float(m.recon_loss), float(m.z_KL_div_loss)
+
+    # ours is layout-agnostic (sum reductions) — feed the same tensors
+    recon, kl = s2vae_vae_loss(
+        jnp.asarray(x_hat), jnp.asarray(x), jnp.asarray(post_mu),
+        jnp.asarray(post_std), jnp.asarray(pri_mu), jnp.asarray(pri_std))
+    np.testing.assert_allclose(float(recon), ref_recon, rtol=1e-5)
+    np.testing.assert_allclose(float(kl), ref_kl, rtol=1e-5)
