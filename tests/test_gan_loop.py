@@ -84,3 +84,42 @@ def test_train_gan_loop_periodic_eval(tmp_path):
     assert len(dumps) == 2, f"expected 2 eval image dumps, got {dumps}"
     # decayed LR visible in the logged metrics
     assert np.isclose(result["lr"], 1e-3 * 0.99, rtol=1e-5)
+
+
+def test_gan_step_interp_mode_runs():
+    """Interpolation-mode GAN (extrapolate=False): the seq discriminator
+    sees identity-masked single-frame swaps of the real context
+    (reference gan.py:138-159) — regression for the extrap flag being
+    hard-wired True. Requires equal context/target lengths."""
+    n_in = n_out = 3
+    loader = iter(MovingMNIST(batch_size=2, n_frames_input=n_in,
+                              n_frames_output=n_out))
+    batch = make_batch_dict(next(loader), n_in=n_in)
+    model = VidODEModel(in_channels=1, n_downs=1, base_ch=8, n_layers=1,
+                        ode_max_steps=16)
+    cfg = Config({"lr": 1e-3, "lr_decay": 0.99})
+    state = create_gan_state(model, cfg, batch, jax.random.key(0),
+                             steps_per_epoch=2, extrap=False)
+    # interp windows keep t frames (no +1): seq-D input is t*c channels
+    seq_kernel = jax.tree_util.tree_leaves(
+        state.disc_params["seq"])[0]
+    step_fn = make_gan_train_step(model, extrap=False)
+    state, metrics = step_fn(state, batch, jax.random.key(1))
+    for k in ("d_loss", "g_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_gan_state_extrap_seq_disc_width():
+    """Extrapolation-mode seq discriminator is built for (t_ctx+1)·c
+    input channels (reference gan.py:162-177 create_netD sizing)."""
+    n_in, n_out = 3, 2
+    loader = iter(MovingMNIST(batch_size=2, n_frames_input=n_in,
+                              n_frames_output=n_out))
+    batch = make_batch_dict(next(loader), n_in=n_in)
+    model = VidODEModel(in_channels=1, n_downs=1, base_ch=8, n_layers=1,
+                        ode_max_steps=16)
+    cfg = Config({"lr": 1e-3})
+    state = create_gan_state(model, cfg, batch, jax.random.key(0),
+                             extrap=True)
+    l1_kernel = state.disc_params["seq"]["l1"]["kernel"]
+    assert l1_kernel.shape[2] == (n_in + 1) * 1   # (t_ctx+1)·c input width
