@@ -393,10 +393,10 @@ def _make_lpips_horizon_fn(cfg):
 
 def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     if cfg.model == "CATERClassifier":
-        raise ValueError(
-            "the CATER classifier evaluates inside its training path "
-            "(val mAP vs the random baseline is reported there and "
-            "written to cater_eval.json); it has no separate test phase")
+        # Eval-only entry (reference dreamerv2/evaluation.py): restore
+        # the trained snapshot and sweep the val split.
+        from ode_rl_tpu.wm.cater import eval_cater_classifier
+        return eval_cater_classifier(cfg, logdir)
     # Resolve the trained checkpoint FIRST (by explicit ckpt_id, mirroring
     # reference helpers/utils.py:229-252 — never by string surgery on the
     # test id) so the saved train config can drive model construction.

@@ -218,6 +218,89 @@ class CaterClassifierModel:
 # Training path
 # --------------------------------------------------------------------------
 
+def val_metric_sweep(model, params, val_set, key, n_chunks: int) -> Dict:
+    """Val-split metric sweep shared by training and the eval-only entry:
+    ranked mAP, top-5, a random-logits mAP baseline, and the reference's
+    own threshold-precision metric (dreamerv2/tools.py:355-377)."""
+    from ode_rl_tpu.wm.classifier import (mean_average_precision,
+                                          reference_map_precision,
+                                          top_k_accuracy)
+
+    eval_fwd = jax.jit(
+        lambda p, batch, k: model.logits(p, batch, k, n_chunks))
+    logits_all, labels_all = [], []
+    vs = val_set()
+    for _ in range(len(vs)):
+        batch = next(vs)
+        key, sub = jax.random.split(key)
+        logits_all.append(np.asarray(eval_fwd(params, batch, sub)))
+        labels_all.append(np.asarray(batch["label"]))
+    logits = jnp.asarray(np.concatenate(logits_all))
+    labels = jnp.asarray(np.concatenate(labels_all))
+    rand = jax.random.normal(jax.random.key(123), logits.shape)
+    return {
+        "val_mAP": float(mean_average_precision(logits, labels)),
+        "val_top5": float(top_k_accuracy(logits, labels, 5)),
+        "random_mAP_baseline": float(mean_average_precision(rand, labels)),
+        "val_mAP_reference_metric": float(
+            reference_map_precision(logits, labels)),
+    }
+
+
+def eval_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
+                          ) -> Dict:
+    """Eval-only CATER classifier entry (capability parity with the
+    reference's separate evaluation driver, dreamerv2/evaluation.py:
+    restore a trained snapshot, sweep the val split, no training).
+    Reached via ``phase: test`` on the CATER config; the snapshot is
+    resolved by explicit ckpt_id and the model is resurrected from the
+    saved train config."""
+    from ode_rl_tpu.core.checkpoint import (CheckpointManager,
+                                            find_checkpoint)
+    from ode_rl_tpu.core.config import Config
+
+    root_logs = pathlib.Path(logdir or cfg.get("logdir", "logs"))
+    ckpt_id = cfg.get("ckpt_id") or cfg.get("id", "cater_classifier")
+    ckpt_dir = find_checkpoint(root_logs, "CATER", ckpt_id)
+    ckpt = CheckpointManager(ckpt_dir, tag=ckpt_id)
+    saved = ckpt.load_config()
+    if saved:
+        # train config drives model geometry; CLI keeps runtime knobs
+        merged = dict(saved)
+        for k in ("batch_size", "data_dir", "seed", "eval_batches"):
+            if k in cfg:
+                merged[k] = cfg[k]
+        cfg = Config(merged)
+
+    root = pathlib.Path(cfg.get("data_dir", "datasets/cater_synth"))
+    if not (root / "videos").exists():
+        raise FileNotFoundError(
+            f"no CATER corpus at {root} — run the training path first "
+            "(it materializes the synthetic corpus) or point --data_dir "
+            "at a reference-layout corpus")
+
+    n_classes = int(cfg.get("n_classes", N_CATER_CLASSES))
+    batch_length = int(cfg.get("batch_length", 20))
+    val_set = lambda: CaterEpisodes(root, "val", cfg.batch_size,
+                                    batch_length, n_classes)
+    model = CaterClassifierModel(cfg)
+
+    key = jax.random.key(cfg.get("seed", 0))
+    key, ik = jax.random.split(key)
+    sample = next(iter(val_set()))
+    template = model.init(ik, sample)
+    restored = ckpt.restore(template)
+    params, step = restored["state"], restored["step"]
+
+    final = {**val_metric_sweep(model, params, val_set, key,
+                                int(sample["n_chunks"])),
+             "ckpt_step": int(step)}
+    out = ckpt_dir.parent / "cater_eval_test_phase.json"
+    out.write_text(json.dumps(final, indent=2))
+    print("CATER eval-only:", json.dumps(final))
+    return final
+
+
 def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
                            ) -> Dict:
     """Classifier-on-world-model-features training (the reference's CATER
@@ -230,7 +313,6 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
     from ode_rl_tpu.core.checkpoint import CheckpointManager
     from ode_rl_tpu.core.logging import MetricLogger
     from ode_rl_tpu.wm.classifier import (mean_average_precision,
-                                          reference_map_precision,
                                           top_k_accuracy)
     from ode_rl_tpu.wm.world_model import world_model_optimizer
 
@@ -302,28 +384,6 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
                    "top5": top_k_accuracy(logits, labels, 5)}
         return new, metrics
 
-    eval_fwd = jax.jit(
-        lambda params, batch, key: model.logits(params, batch, key,
-                                                n_chunks))
-
-    def evaluate(state, key) -> Tuple[float, float, float]:
-        """Val mAP/top5 + the random-logits mAP baseline."""
-        logits_all, labels_all = [], []
-        vs = val_set()
-        for _ in range(len(vs)):
-            batch = next(vs)
-            key, sub = jax.random.split(key)
-            logits_all.append(np.asarray(eval_fwd(
-                {"wm": state["wm"], "clf": state["clf"]}, batch, sub)))
-            labels_all.append(np.asarray(batch["label"]))
-        logits = jnp.asarray(np.concatenate(logits_all))
-        labels = jnp.asarray(np.concatenate(labels_all))
-        rand = jax.random.normal(jax.random.key(123), logits.shape)
-        return (float(mean_average_precision(logits, labels)),
-                float(top_k_accuracy(logits, labels, 5)),
-                float(mean_average_precision(rand, labels)),
-                float(reference_map_precision(logits, labels)))
-
     run_id = cfg.get("id", "cater_classifier")
     logdir = pathlib.Path(logdir or cfg.get("logdir", "logs")) / "CATER" / run_id
     logger = MetricLogger(logdir, quiet=cfg.get("quiet", False))
@@ -342,12 +402,10 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
             last = {k: float(v) for k, v in jax.device_get(metrics).items()}
             logger.log(step, last)
 
-    val_map, val_top5, rand_map, val_map_ref = evaluate(state, key)
-    final = {"val_mAP": val_map, "val_top5": val_top5,
-             "random_mAP_baseline": rand_map,
-             # the reference's own "mAP" (threshold-0.5 precision,
-             # dreamerv2/tools.py:355-377) for comparability
-             "val_mAP_reference_metric": val_map_ref, "steps": steps}
+    final = {**val_metric_sweep(model,
+                                {"wm": state["wm"], "clf": state["clf"]},
+                                val_set, key, n_chunks),
+             "steps": steps}
     logger.log(steps, final)
     ckpt.save(steps, {"wm": state["wm"], "clf": state["clf"]},
               config=cfg.to_dict())
