@@ -234,6 +234,34 @@ class DisentangledVAE(nn.Module):
         perm = perm.reshape(-1, 2)[:, ::-1].reshape(-1)  # swap pairs
         return self._decode(z_post, f_post[perm], train=train)
 
+    def forward_fixed_content_for_classification(self, x, train=False):
+        """Disagreement-protocol generator (reference DS_VAE.py:289-303):
+        motion resampled from the free prior rollout (its per-step MEANS
+        drive the decode), content pinned to the posterior mean. Returns
+        (generation, posterior-mean recon)."""
+        key = self.make_rng("sample")
+        k1, k2 = jax.random.split(key)
+        f_mean, _, _, z_mean_post, _, _ = self.encode_and_sample_post(
+            x, k1, train=train)
+        b, t = x.shape[:2]
+        z_mean_prior, _, _ = self._prior_rollout(t, k2, batch=b)
+        recon_sample = self._decode(z_mean_prior, f_mean, train=train)
+        recon = self._decode(z_mean_post, f_mean, train=train)
+        return recon_sample, recon
+
+    def forward_fixed_action_for_classification(self, x, train=False):
+        """Disagreement-protocol generator (reference DS_VAE.py:305-322):
+        motion pinned to the posterior means, content resampled from
+        N(0, I). Returns (generation, posterior-mean recon)."""
+        key = self.make_rng("sample")
+        k1, k2 = jax.random.split(key)
+        f_mean, _, _, z_mean_post, _, _ = self.encode_and_sample_post(
+            x, k1, train=train)
+        f_prior = jax.random.normal(k2, f_mean.shape, f_mean.dtype)
+        recon_sample = self._decode(z_mean_post, f_prior, train=train)
+        recon = self._decode(z_mean_post, f_mean, train=train)
+        return recon_sample, recon
+
     def forward_fixed_motion(self, x, train: bool = False):
         """Same z for all, per-sample f (:265-275)."""
         key = self.make_rng("sample")

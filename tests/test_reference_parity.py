@@ -882,3 +882,49 @@ def test_s2vae_vae_loss_vs_reference(ref_modules):
         jnp.asarray(post_std), jnp.asarray(pri_mu), jnp.asarray(pri_std))
     np.testing.assert_allclose(float(recon), ref_recon, rtol=1e-5)
     np.testing.assert_allclose(float(kl), ref_kl, rtol=1e-5)
+
+
+def test_disagreement_metrics_vs_reference():
+    """Disagreement-score metrics (reference code_sprite/
+    test_DS_VAE_Sprite_Cls_disagree.py:233-263). The module's import
+    surface is broken in-image (argv parsing at import, scipy.misc), so
+    the oracle execs the metric-function block verbatim from the file —
+    the math that runs is still byte-for-byte the reference's."""
+    from ode_rl_tpu.sprite.disagreement import (
+        balanced_subset_index, disagreement_scores, entropy_hy,
+        entropy_hyx, inception_score, kl_divergence)
+
+    src = (REF / "code_sprite/test_DS_VAE_Sprite_Cls_disagree.py"
+           ).read_text()
+    start = src.index("def entropy_Hy")
+    end = src.index("def print_log")
+    ns = {"np": np}
+    exec(src[start:end], ns)  # the reference's own metric defs
+
+    rng = np.random.RandomState(11)
+    logits = rng.randn(64, 4).astype(np.float64)
+    p2 = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    logits1 = rng.randn(64, 4).astype(np.float64)
+    p1 = np.exp(logits1) / np.exp(logits1).sum(1, keepdims=True)
+    label_gt = rng.randint(0, 4, size=64)
+
+    np.testing.assert_allclose(entropy_hy(p2), ns["entropy_Hy"](p2),
+                               rtol=1e-12)
+    np.testing.assert_allclose(entropy_hyx(p2), ns["entropy_Hyx"](p2),
+                               rtol=1e-12)
+    np.testing.assert_allclose(inception_score(p2),
+                               ns["inception_score"](p2), rtol=1e-12)
+    np.testing.assert_allclose(kl_divergence(p2, p1),
+                               ns["KL_divergence"](p2, p1), rtol=1e-12)
+
+    # the balanced-subset + full sweep mirrors the inline protocol
+    # (reference :216-231)
+    idx = balanced_subset_index(label_gt)
+    n_per = min((label_gt == i).sum() for i in np.unique(label_gt))
+    assert len(idx) == n_per * len(np.unique(label_gt))
+    scores = disagreement_scores(p1, p2, label_gt)
+    np.testing.assert_allclose(
+        scores["acc"],
+        (np.argmax(p1, 1) == np.argmax(p2, 1)).mean(), rtol=1e-12)
+    np.testing.assert_allclose(scores["IS"],
+                               ns["inception_score"](p2[idx]), rtol=1e-12)
