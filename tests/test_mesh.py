@@ -60,3 +60,46 @@ def test_sharded_train_step_matches_single_device():
     # Updated params stay finite and usable
     leaves = jax.tree_util.tree_leaves(new_state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_sp_mesh_axes_and_layout():
+    from ode_rl_tpu.parallel.sp import make_sp_mesh, shard_batch_sp
+
+    mesh = make_sp_mesh(n_data=4, n_space=2)
+    assert mesh.axis_names == ("data", "space")
+    assert mesh.devices.shape == (4, 2)
+    video = jnp.zeros((8, 4, 64, 64, 1))
+    batch = make_batch_dict(video, n_in=2)
+    sharded = shard_batch_sp(batch, mesh)
+    spec = sharded["observed_data"].sharding.spec
+    assert spec[0] == "data" and spec[2] == "space"
+    # per-sample vectors shard over data only; timestamps replicate
+    assert sharded["observed_mask"].sharding.spec[0] == "data"
+    assert all(s is None for s in sharded["observed_tp"].sharding.spec)
+
+
+def test_sp_sharded_train_step_matches_single_device():
+    """dp×sp step (batch over 'data', frame height over 'space') must be
+    numerically equivalent — GSPMD inserts the conv halo exchanges."""
+    from ode_rl_tpu.parallel.sp import make_sp_mesh, shard_batch_sp
+
+    model = ConvGRUModel(in_channels=1, conv_encoder_out_ch=16,
+                         convgru_out_ch=16)
+    loader = iter(MovingMNIST(batch_size=8, n_frames_input=3,
+                              n_frames_output=2))
+    batch = make_batch_dict(next(loader), n_in=3)
+    state = create_train_state(model, CFG, batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+
+    _, m_ref = step(state, batch, jax.random.key(1))
+
+    mesh = make_sp_mesh(n_data=4, n_space=2)
+    new_state, m_shard = step(replicate(state, mesh),
+                              shard_batch_sp(batch, mesh), jax.random.key(1))
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_shard["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_ref["grad_norm"]),
+                               float(m_shard["grad_norm"]), rtol=1e-4)
+    leaves = jax.tree_util.tree_leaves(new_state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
