@@ -253,6 +253,36 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
                 opt_state=restored["state"]["opt_state"])
             print(f"resumed from step {start_step}")
 
+    # ReduceLROnPlateau + early stopping (ConvLSTM sub-repo capability,
+    # reference ConvLSTM-PyTorch/earlystopping.py:6-51 + the main.py
+    # scheduler imports): both monitor a fixed held-out batch's eval-mode
+    # MSE once per epoch. Opt-in via `lr_scheduler: plateau` and/or
+    # `early_stop_patience > 0`.
+    plateau = early = val_monitor = None
+    if cfg.get("lr_scheduler", "") == "plateau":
+        from ode_rl_tpu.train.schedulers import ReduceLROnPlateau
+        plateau = ReduceLROnPlateau(
+            factor=float(cfg.get("plateau_factor", 0.5)),
+            patience=int(cfg.get("plateau_patience", 4)),
+            min_scale=float(cfg.get("plateau_min_scale", 1e-3)))
+    if int(cfg.get("early_stop_patience", 0)) > 0:
+        from ode_rl_tpu.train.schedulers import EarlyStopping
+        early = EarlyStopping(patience=int(cfg.early_stop_patience))
+    if plateau is not None or early is not None:
+        eval_step = make_eval_step(model)
+        val_batches = [
+            make_batch_dict(next(loaders["test_dataloader"]),
+                            n_in=cfg.train_in_seq,
+                            with_flow_labels=_needs_flow_labels(cfg),
+                            flow_label_fn=flow_label_fn)
+            for _ in range(int(cfg.get("val_batches", 2)))]
+
+        def val_monitor() -> float:
+            mses = [np.mean(np.asarray(jax.device_get(
+                eval_step(state.variables, vb, jax.random.key(0))[0]["mse"])))
+                for vb in val_batches]
+            return float(np.mean(mses))
+
     step = start_step
     last_metrics: Dict = {}
     log_freq = int(cfg.get("loss_log_freq", 50))
@@ -308,6 +338,22 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         epoch_loss = (float(np.mean(epoch_losses)) if epoch_losses
                       else last_metrics.get("loss", float("nan")))
         logger.log_epoch(epoch, epoch_loss, step, total_steps)
+        if val_monitor is not None:
+            val_mse = val_monitor()
+            logger.log(step, {"val_mse": val_mse})
+            if plateau is not None:
+                prev = plateau.scale
+                scale = plateau.step(val_mse)
+                if scale != prev:
+                    from ode_rl_tpu.train.schedulers import set_lr_scale
+                    state = set_lr_scale(state, scale)
+                    print(f"plateau: val_mse {val_mse:.6f} stalled — "
+                          f"lr scale {prev:g} → {scale:g}")
+            if early is not None and early.step(val_mse):
+                print(f"early stop at epoch {epoch}: val_mse "
+                      f"{val_mse:.6f} has not improved past "
+                      f"{early.best:.6f} for {early.patience} epochs")
+                break
         if step >= total_steps:
             break
     ckpt.save(max(step, 1), {"params": state.params,

@@ -88,3 +88,35 @@ def scaled_by_schedule(tx: optax.GradientTransformation, schedule):
     """Wrap an optimizer with a multiplicative step-indexed LR schedule."""
     return optax.chain(tx, optax.scale_by_schedule(
         lambda step: schedule(step)))
+
+
+def set_lr_scale(state, scale: float):
+    """Write a new plateau LR scale into a TrainState whose optimizer was
+    built with ``lr_scheduler: plateau`` (the trailing
+    ``inject_hyperparams(scale)`` element of the optax chain).
+
+    Pure host-side pytree surgery — the jitted step just sees a different
+    ``step_size`` value, so nothing recompiles. Keeps the leaf's sharding
+    when it has one (mesh runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    new_elems = []
+    found = False
+    for elem in state.opt_state:
+        hp = getattr(elem, "hyperparams", None)
+        if not found and isinstance(hp, dict) and "step_size" in hp:
+            old = hp["step_size"]
+            new = jnp.asarray(scale, dtype=getattr(old, "dtype", jnp.float32))
+            sharding = getattr(old, "sharding", None)
+            if sharding is not None:
+                new = jax.device_put(new, sharding)
+            elem = elem._replace(hyperparams={**hp, "step_size": new})
+            found = True
+        new_elems.append(elem)
+    if not found:
+        raise ValueError(
+            "set_lr_scale: no inject_hyperparams(scale) element in "
+            "opt_state — was the optimizer built with lr_scheduler: "
+            "plateau?")
+    return state.replace(opt_state=tuple(new_elems))

@@ -56,10 +56,16 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     lr = float(cfg.lr)
     if opt_name == "adam":
         chain.append(optax.adam(lr))
-    elif opt_name == "adamax":  # Vid-ODE's GAN loop uses Adamax
+    elif opt_name == "adamax":  # Vid-ODE's GAN loop + ConvLSTM use Adamax
         chain.append(optax.adamax(lr))
     else:
         raise NotImplementedError(f"optimizer {opt_name!r}")
+    if cfg.get("lr_scheduler", "") == "plateau":
+        # Host-controlled LR scale for ReduceLROnPlateau (ConvLSTM
+        # sub-repo capability, reference ConvLSTM-PyTorch/main.py:21-24 +
+        # earlystopping.py): the scale lives in opt_state.hyperparams so
+        # the epoch loop can update it without recompiling the step.
+        chain.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
     return optax.chain(*chain)
 
 

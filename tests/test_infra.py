@@ -83,6 +83,41 @@ def test_early_stopping():
     assert es.should_stop
 
 
+def test_plateau_lr_scale_wired_into_train_state():
+    """lr_scheduler: plateau puts a host-settable scale in opt_state; the
+    same jitted step then takes a smaller parameter step (no recompile)."""
+    import jax
+
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.train.schedulers import set_lr_scale
+    from ode_rl_tpu.train.step import create_train_state, make_train_step
+    from ode_rl_tpu.data import MovingMNIST, make_batch_dict
+    from ode_rl_tpu.models.convgru import ConvGRUModel
+
+    cfg = Config({"lr": 1e-3, "clip": -1, "lr_scheduler": "plateau",
+                  "optimizer": "adamax"})
+    model = ConvGRUModel(in_channels=1, conv_encoder_out_ch=8,
+                         convgru_out_ch=8)
+    loader = iter(MovingMNIST(batch_size=2, n_frames_input=2,
+                              n_frames_output=2))
+    batch = make_batch_dict(next(loader), n_in=2)
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    step = make_train_step(model, donate=False)
+
+    def delta(s):
+        s2, _ = step(s, batch, jax.random.key(1))
+        flat = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: jnp.abs(a - b).sum(),
+                                   s2.params, s.params))
+        return float(sum(jnp.asarray(x) for x in flat))
+
+    full = delta(state)
+    half = delta(set_lr_scale(state, 0.5))
+    assert half == pytest.approx(full * 0.5, rel=1e-3)
+    zero = delta(set_lr_scale(state, 0.0))
+    assert zero == pytest.approx(0.0, abs=1e-9)
+
+
 # ------------------------------- debug tools -------------------------------
 
 def test_all_finite_and_nan_guard():
