@@ -411,6 +411,7 @@ def train_cater_classifier(cfg, logdir: Optional[pathlib.Path] = None
               config=cfg.to_dict())
     (logdir / "cater_eval.json").write_text(json.dumps(final, indent=2))
     logger.close()
-    print(f"CATER classifier: val mAP {val_map:.3f} "
-          f"(random baseline {rand_map:.3f}), top5 {val_top5:.3f}")
+    print(f"CATER classifier: val mAP {final['val_mAP']:.3f} "
+          f"(random baseline {final['random_mAP_baseline']:.3f}), "
+          f"top5 {final['val_top5']:.3f}")
     return final

@@ -246,6 +246,33 @@ def test_cater_layout_corpus_and_loader(tmp_path):
     assert len(val) == 1
 
 
+def test_train_cater_classifier_end_to_end(tmp_path):
+    """The CLI CATER entry end-to-end on a tiny corpus: trains, sweeps the
+    val split, writes cater_eval.json, and returns the metric dict
+    (regression: the final summary print used stale variable names and
+    crashed AFTER the checkpoint was saved — 2026-08-18)."""
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.wm.cater import train_cater_classifier
+
+    cfg = Config({
+        "id": "cater_test", "ckpt_id": "cater_test", "model":
+        "CATERClassifier", "dataset": "cater",
+        "data_dir": str(tmp_path / "cater"), "logdir": str(tmp_path / "logs"),
+        "batch_size": 2, "batch_length": 4, "n_classes": 10,
+        "classifier_lr": 1e-3, "classifier_units": 16, "lr": 3e-4,
+        "epochs": 1, "steps_per_epoch": 2, "loss_log_freq": 1,
+        "cnn_depth": 4, "dyn_stoch": 4, "dyn_deter": 8, "dyn_hidden": 8,
+        "dyn_discrete": 0, "in_channels": 3,
+        "cater_train": 4, "cater_val": 2, "cater_frames": 8, "seed": 0})
+    final = train_cater_classifier(cfg)
+    for k in ("val_mAP", "val_top5", "random_mAP_baseline",
+              "val_mAP_reference_metric", "steps"):
+        assert k in final
+    assert 0.0 <= final["val_mAP"] <= 1.0
+    assert (tmp_path / "logs" / "CATER" / "cater_test"
+            / "cater_eval.json").exists()
+
+
 def test_spatial_world_model_trains_and_predicts():
     """SpatialWorldModel (ModelBasedRL_TF_V2 training capability): loss
     with sparsity term decreases over a few steps; predict returns
