@@ -50,9 +50,19 @@ class ODEConvGRUModel(nn.Module):
     ode_solver: str = "scan"
     mem: bool = False
     # sample_odecgru variant: z0 ~ N(mu, std) instead of z0 = mu (the
-    # reference's z_sample flag gates a dead branch at ODEConvGRU.py:72-79;
+    # reference's z_sample flag gates a dead branch at ODEConvGRU.py:72-79
+    # whose TODO reads "reparametrization trick or this might not work";
     # here the reparameterized sampling actually runs when enabled).
     z_sample: bool = False
+    # KL(N(mu, std²) ‖ N(0, 1)) weight for the sampled-z0 path — the
+    # latent-ODE ELBO term that makes reparameterized z0 training
+    # well-posed. Measured without it (plain MSE, the reference's loss):
+    # the model drifts into a degenerate attractor — |mu|,|std| grow
+    # ~1.5×/step, the decode solve truncates at the NFE budget, the
+    # sigmoid output saturates all-black (MSE plateaus at the black-frame
+    # floor ≈0.07 with EXACTLY zero gradient), and Adam's momentum coasts
+    # the latent head into overflow → NaN. KL removes the attractor.
+    z_kl_weight: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -79,10 +89,16 @@ class ODEConvGRUModel(nn.Module):
             ode_n_units=self.neural_ode_n_units,
             dtype=self.dtype, param_dtype=self.param_dtype, name="z0_encoder")
         mu, std, _ = z0_encoder(enc, observed_tp)
+        z0_kl = None
         if self.z_sample:
             eps = jax.random.normal(self.make_rng("sample"), mu.shape,
                                     self.dtype)
             z0 = mu + std * eps
+            if self.z_kl_weight > 0.0:
+                mu32 = mu.astype(jnp.float32)
+                std32 = std.astype(jnp.float32)
+                z0_kl = jnp.mean(0.5 * (jnp.square(mu32) + jnp.square(std32))
+                                 - jnp.log(std32 + 1e-6) - 0.5)
         else:
             z0 = mu  # reference's z_sample path is dead (ODEConvGRU.py:72-79)
 
@@ -174,11 +190,16 @@ class ODEConvGRUModel(nn.Module):
                               name="conv_decoder")
         pred = jax.nn.sigmoid(decoder(y)).reshape(b, t_out, h, w,
                                                   self.in_channels)
+        if z0_kl is not None:
+            stats_metrics["z0_kl"] = z0_kl
         return pred.astype(jnp.float32), stats_metrics
 
     def loss(self, batch: Dict, train: bool = True):
         pred, aux = self.predict(batch, train=train)
         target = batch["data_to_predict"].astype(jnp.float32) + 0.5
         mse = jnp.mean(jnp.square(pred - target))
-        metrics = {"loss": mse, "mse": mse, **aux}
-        return mse, (metrics, pred)
+        loss = mse
+        if "z0_kl" in aux:
+            loss = loss + self.z_kl_weight * aux["z0_kl"]
+        metrics = {"loss": loss, "mse": mse, **aux}
+        return loss, (metrics, pred)

@@ -56,6 +56,7 @@ def _build_odeconvgru(cfg):
         ode_solver=cfg.get("ode_solver", "scan"),
         mem=cfg.get("mem", False),
         z_sample=cfg.get("z_sample", False),
+        z_kl_weight=float(cfg.get("z_kl_weight", 0.0)),
         dtype=_compute_dtype(cfg),
     )
 

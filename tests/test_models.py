@@ -149,6 +149,41 @@ def test_odeconvgru_z_sample():
     np.testing.assert_allclose(p1, p3, rtol=1e-6)
 
 
+def test_odeconvgru_z_sample_kl_regularizer():
+    """Regression pin for the z_sample degenerate attractor (round-3
+    finding): without a KL term, plain-MSE training blows |mu|,|std| up
+    until the sigmoid saturates all-black, gradients hit exactly zero,
+    and Adam momentum coasts the latent head into NaN. The latent-ODE
+    ELBO term (z_kl_weight > 0) must (a) surface a finite z0_kl metric,
+    (b) enter the loss, and (c) penalize large mu/std so the attractor
+    has positive loss gradient."""
+    model = small_odeconvgru(z_sample=True, z_kl_weight=0.01)
+    batch = tiny_batch()
+    variables = model.init({"params": jax.random.key(0),
+                            "sample": jax.random.key(1)},
+                           batch, train=True, method=model.loss)
+    loss, (metrics, _) = model.apply(
+        variables, batch, train=True, method=model.loss,
+        rngs={"sample": jax.random.key(2)})
+    assert "z0_kl" in metrics and np.isfinite(float(metrics["z0_kl"]))
+    np.testing.assert_allclose(
+        float(loss),
+        float(metrics["mse"]) + 0.01 * float(metrics["z0_kl"]), rtol=1e-5)
+
+    # The KL gradient must pull an inflated latent head back down: scale
+    # the z0 head weights up and the KL term must grow superlinearly.
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    inflated = {
+        k: (v * 8.0 if "z0_encoder" in "/".join(k) else v)
+        for k, v in flat.items()}
+    inflated = {"params": flax.traverse_util.unflatten_dict(inflated)}
+    _, (m_inf, _) = model.apply(
+        inflated, batch, train=True, method=model.loss,
+        rngs={"sample": jax.random.key(2)})
+    assert float(m_inf["z0_kl"]) > 4.0 * float(metrics["z0_kl"])
+
+
 def test_mem_variant_shipped_config_health():
     """Regression pin for the mem-variant stiff-regime failure mode
     (round-2 HANDOFF #3): at the SHIPPED train_mmnist_odecgrumem
