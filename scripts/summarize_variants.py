@@ -115,7 +115,10 @@ def main() -> None:
         "completes the variant the latent-ODE way (`z_kl_weight: 0.01` "
         "ELBO term + nan_guard); the run above is with that fix — "
         "grad_norm stays alive (1e-3..1e-2), z0_kl anneals 1.24 → 0.02, "
-        "nan_skipped = 0.",
+        "nan_skipped = 0. Eval artifact: a 20→180 per-horizon sweep of "
+        "the 800-step checkpoint is finite at all 180 horizons "
+        "(`results/round3/artifacts/sample_odecgru_20to180_per_horizon"
+        ".json`).",
     ]
     (OUT / "variants_summary.json").write_text(json.dumps(summary, indent=2))
     (OUT / "VARIANTS.md").write_text("\n".join(lines) + "\n")
