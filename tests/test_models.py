@@ -215,3 +215,38 @@ def test_mem_variant_shipped_config_health():
         assert np.isfinite(m["grad_norm"]) and m["grad_norm"] > 0, m
         assert m["nfe"] < 0.8 * budget_nfe, (
             f"mem variant near its NFE budget: {m['nfe']} vs {budget_nfe}")
+
+
+def test_z_sample_shipped_config_wires_kl_and_nan_guard():
+    """Regression pin for the z_sample divergence fix (round-3): the
+    SHIPPED train_mmnist_sample_odecgru block must reach the model with
+    a positive z_kl_weight (the latent-ODE ELBO term that removes the
+    all-black attractor) and keep nan_guard on. A few train steps at the
+    shipped wiring must surface a finite, positive z0_kl metric and a
+    live gradient."""
+    import pathlib
+
+    from ode_rl_tpu.core.config import load_config
+    from ode_rl_tpu.models import build_model
+
+    cfg_path = pathlib.Path(__file__).parent.parent / "configs.yaml"
+    cfg = load_config(["defaults", "train_mmnist_sample_odecgru"],
+                      config_path=cfg_path)
+    assert cfg.z_sample is True
+    assert float(cfg.z_kl_weight) > 0.0
+    assert cfg.nan_guard is True
+    model = build_model(cfg)
+    assert model.z_kl_weight == float(cfg.z_kl_weight)
+
+    batch = tiny_batch(n_in=4, n_out=4, b=2)
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    step = make_train_step(model, nan_guard=True, donate=False)
+    rng = jax.random.key(1)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        assert np.isfinite(m["loss"]), m
+        assert np.isfinite(m["grad_norm"]) and m["grad_norm"] > 0, m
+        assert m["z0_kl"] > 0 and np.isfinite(m["z0_kl"]), m
+        assert m["nan_skipped"] == 0, m
