@@ -14,6 +14,10 @@ random-init baseline, and saves flax-msgpack params at the path that
 Usage:
     python scripts/train_flownetc.py [--steps 2000] [--batch 8]
         [--out logs/flow/flownetc.msgpack] [--report results/round3/flownetc.json]
+
+``--net S`` trains FlowNetS instead (concatenated-pair input, the
+reference's flownet2-pytorch/networks/FlowNetS.py contract) with its own
+default out/report paths — same train corpus, same held-out EPE protocol.
 """
 
 from __future__ import annotations
@@ -30,22 +34,31 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--net", choices=["C", "S"], default="C")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--out", default="logs/flow/flownetc.msgpack")
-    ap.add_argument("--report", default="results/round3/flownetc.json")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--report", default=None)
     ap.add_argument("--val_pairs", type=int, default=64)
     args = ap.parse_args()
+    tag = "flownetc" if args.net == "C" else "flownets"
+    if args.out is None:
+        args.out = f"logs/flow/{tag}.msgpack"
+    if args.report is None:
+        args.report = f"results/round3/{tag}.json"
+    # FlowNetS consumes the channel-stacked image pair; FlowNetC takes the
+    # two images separately (correlation between feature towers).
+    pair_input = args.net == "S"
 
     import jax
 
     from ode_rl_tpu.flow.data import (FlyingChairsCorpus, validate_epe,
                                       write_synthetic_chairs)
-    from ode_rl_tpu.flow.flownets import FlowNetC
+    from ode_rl_tpu.flow.flownets import FlowNetC, FlowNetS
     from ode_rl_tpu.flow.train import save_flownet_params, train_flownet
 
-    net = FlowNetC()
+    net = FlowNetC() if args.net == "C" else FlowNetS()
 
     # Held-out FlyingChairs-layout disk corpus for EPE validation (the
     # training stream is the on-device generator; the val set exercises
@@ -58,17 +71,18 @@ def main() -> None:
     # Random-init baseline EPE (what the old fallback path was using).
     import jax.numpy as jnp
     dummy = jnp.zeros((1, 64, 64, 3))
-    rand_params = net.init(jax.random.key(0), dummy, dummy)
-    rand_epe = validate_epe(net, rand_params, val(), pair_input=False)
-    print(f"random-init FlowNetC val EPE: {rand_epe:.4f}")
+    rand_params = (net.init(jax.random.key(0), jnp.concatenate([dummy] * 2, axis=-1))
+                   if pair_input else net.init(jax.random.key(0), dummy, dummy))
+    rand_epe = validate_epe(net, rand_params, val(), pair_input=pair_input)
+    print(f"random-init FlowNet{args.net} val EPE: {rand_epe:.4f}")
 
     t0 = time.time()
     out = train_flownet(net, steps=args.steps, batch=args.batch,
-                        lr=args.lr, pair_input=False)
+                        lr=args.lr, pair_input=pair_input)
     train_s = time.time() - t0
     trained_epe = validate_epe(net, out["state"]["params"], val(),
-                               pair_input=False)
-    print(f"trained  FlowNetC val EPE: {trained_epe:.4f} "
+                               pair_input=pair_input)
+    print(f"trained  FlowNet{args.net} val EPE: {trained_epe:.4f} "
           f"(final train loss {out['loss']:.4f}, epe {out['epe']:.4f}; "
           f"{args.steps} steps in {train_s:.0f}s)")
 
@@ -76,6 +90,7 @@ def main() -> None:
     print(f"saved params → {args.out}")
 
     report = {
+        "net": f"FlowNet{args.net}",
         "steps": args.steps, "batch": args.batch, "lr": args.lr,
         "train_seconds": round(train_s, 1),
         "final_train_loss": out["loss"], "final_train_epe": out["epe"],
