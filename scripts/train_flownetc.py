@@ -61,12 +61,14 @@ def main() -> None:
     net = FlowNetC() if args.net == "C" else FlowNetS()
 
     # Held-out FlyingChairs-layout disk corpus for EPE validation (the
-    # training stream is the on-device generator; the val set exercises
-    # the ppm/.flo disk pipeline end-to-end).
+    # training stream is the on-device generator, so the entire disk
+    # corpus is held out: train_split=0.0 keeps all pairs in the val
+    # slice instead of only the last 10%).
     val_dir = pathlib.Path(tempfile.mkdtemp(prefix="chairs_val_"))
     write_synthetic_chairs(val_dir, n_pairs=args.val_pairs, seed=1234)
     val = lambda: FlyingChairsCorpus(val_dir, batch_size=args.batch,
-                                    is_train=False, seed=0)
+                                    is_train=False, train_split=0.0, seed=0)
+    n_eval_pairs = len(val()) * args.batch
 
     # Random-init baseline EPE (what the old fallback path was using).
     import jax.numpy as jnp
@@ -95,11 +97,12 @@ def main() -> None:
         "train_seconds": round(train_s, 1),
         "final_train_loss": out["loss"], "final_train_epe": out["epe"],
         "val_epe_random_init": rand_epe, "val_epe_trained": trained_epe,
-        "val_pairs": args.val_pairs, "params_path": str(args.out),
+        "val_pairs": args.val_pairs, "val_pairs_evaluated": n_eval_pairs,
+        "params_path": str(args.out),
     }
     rp = pathlib.Path(args.report)
     rp.parent.mkdir(parents=True, exist_ok=True)
-    rp.write_text(json.dumps(report, indent=2))
+    rp.write_text(json.dumps(report, indent=2) + "\n")
     print(f"report → {rp}")
 
 
