@@ -157,6 +157,7 @@ def write_synthetic_chairs(out, n_pairs: int = 32, size: int = 64,
 
 
 def validate_epe(model, params, corpus, pair_input: bool = True,
+                 single_scale: bool = False,
                  max_batches: Optional[int] = None) -> float:
     """Mean end-point error over the corpus (reference main.py validation
     loop; EPE per flownet2-pytorch losses.py L2 norm). ``pair_input=False``
@@ -171,6 +172,9 @@ def validate_epe(model, params, corpus, pair_input: bool = True,
         inputs = ((jnp.concatenate([img1, img2], axis=-1),) if pair_input
                   else (img1, img2))
         flows = model.apply(params, *inputs)
+        if single_scale:
+            # Stacked FlowNet2: a single full-resolution flow output.
+            return epe(flows, flow)
         # Finest pyramid level: 1/4 resolution at 1/4 magnitude for every
         # FlowNet variant here. Guard the convention instead of assuming
         # it — a variant with a different output stride would otherwise

@@ -68,12 +68,18 @@ class _Deconv(nn.Module):
 
 
 class _UpFlow(nn.Module):
+    # The reference's flow-upsampling deconvs are bias-free in FlowNetS
+    # only (FlowNetS.py:41-44: ConvTranspose2d(..., bias=False)); they are
+    # biased in FlowNetC (FlowNetC.py:53-56), FlowNetSD (FlowNetSD.py:47-50)
+    # and FlowNetFusion.
+    use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, flow):
         return nn.ConvTranspose(2, (4, 4), strides=(2, 2), padding="SAME",
-                                dtype=self.dtype, name="upflow")(flow)
+                                use_bias=self.use_bias, dtype=self.dtype,
+                                name="upflow")(flow)
 
 
 def _predict_flow(x, name, dtype):
@@ -83,9 +89,16 @@ def _predict_flow(x, name, dtype):
 
 class _Refinement(nn.Module):
     """Shared expanding part: deconv + concat(skip, upsampled flow) →
-    predict flow per scale; returns [flow2..flow6] coarse-to-fine-last."""
+    predict flow per scale; returns [flow2..flow6] coarse-to-fine-last.
+
+    ``inter_channels`` enables the FlowNetSD-style ``i_conv`` stage
+    (FlowNetSD.py:36-39): a 3×3 conv with NO activation applied to the
+    concat, with the per-scale flow predicted from its output while the
+    next deconv still reads the raw concat."""
 
     channels: Tuple[int, ...] = (512, 256, 128, 64)
+    inter_channels: Tuple[int, ...] = ()
+    upflow_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,9 +109,15 @@ class _Refinement(nn.Module):
         x = bottom
         for i, (skip, ch) in enumerate(zip(reversed(skips), self.channels)):
             up_feat = _Deconv(ch, dtype=self.dtype, name=f"deconv_{i}")(x)
-            up_flow = _UpFlow(dtype=self.dtype, name=f"upflow_{i}")(flow)
+            up_flow = _UpFlow(use_bias=self.upflow_bias, dtype=self.dtype,
+                              name=f"upflow_{i}")(flow)
             x = jnp.concatenate([skip, up_feat, up_flow], axis=-1)
-            flow = _predict_flow(x, f"predict_flow_{i}", self.dtype)
+            if self.inter_channels:
+                y = nn.Conv(self.inter_channels[i], (3, 3), padding=1,
+                            dtype=self.dtype, name=f"interconv_{i}")(x)
+                flow = _predict_flow(y, f"predict_flow_{i}", self.dtype)
+            else:
+                flow = _predict_flow(x, f"predict_flow_{i}", self.dtype)
             flows.append(flow)
         return flows[::-1]  # finest first: [flow2, flow3, flow4, flow5, flow6]
 
@@ -121,8 +140,8 @@ class FlowNetS(nn.Module):
         x5 = c(512, 3, 1, "conv5_1")(x5)
         x6 = c(1024, 3, 2, "conv6")(x5)
         x6 = c(1024, 3, 1, "conv6_1")(x6)
-        flows = _Refinement(dtype=self.dtype, name="refine")(
-            [x2, x3, x4, x5], x6)
+        flows = _Refinement(upflow_bias=False, dtype=self.dtype,
+                            name="refine")([x2, x3, x4, x5], x6)
         return flows  # finest (1/4 res) first
 
 
@@ -156,6 +175,8 @@ class FlowNetC(nn.Module):
         x6 = c(1024, 3, 1, "conv6_1")(x6)
         # skips: conv2 features of img1 at 1/4, then x3, x4, x5
         f1_2 = conv2(conv1(img1))
+        # Unlike FlowNetS, FlowNetC's flow-upsampling deconvs ARE biased
+        # (FlowNetC.py:53-56: ConvTranspose2d(..., bias=True)).
         flows = _Refinement(dtype=self.dtype, name="refine")(
             [f1_2, x3, x4, x5], x6)
         return flows
@@ -182,7 +203,8 @@ class FlowNetSD(nn.Module):
         x5 = c(512, 1, "conv5_1")(x5)
         x6 = c(1024, 2, "conv6")(x5)
         x6 = c(1024, 1, "conv6_1")(x6)
-        flows = _Refinement(dtype=self.dtype, name="refine")(
+        flows = _Refinement(inter_channels=(512, 256, 128, 64),
+                            dtype=self.dtype, name="refine")(
             [x2, x3, x4, x5], x6)
         return flows
 
@@ -201,17 +223,23 @@ class FlowNetFusion(nn.Module):
         x2 = c(128, 2, "conv2")(x1)
         x2 = c(128, 1, "conv2_1")(x2)
 
+        # Expanding part, reference-exact (FlowNetFusion.py:48-64): the
+        # inter_convs are i_conv = conv with NO activation, each deconv
+        # reads the raw concat (not the interconv output), and the
+        # per-scale flow is predicted from the interconv output.
+        iconv = lambda f, name: nn.Conv(f, (3, 3), padding=1,
+                                        dtype=self.dtype, name=name)
         flow2 = _predict_flow(x2, "predict_flow2", self.dtype)
         up1 = _Deconv(32, dtype=self.dtype, name="deconv1")(x2)
         upflow1 = _UpFlow(dtype=self.dtype, name="upflow1")(flow2)
-        x1c = jnp.concatenate([x1, up1, upflow1], axis=-1)
-        x1c = c(32, 1, "interconv1")(x1c)
-        flow1 = _predict_flow(x1c, "predict_flow1", self.dtype)
-        up0 = _Deconv(16, dtype=self.dtype, name="deconv0")(x1c)
+        concat1 = jnp.concatenate([x1, up1, upflow1], axis=-1)
+        inter1 = iconv(32, "interconv1")(concat1)
+        flow1 = _predict_flow(inter1, "predict_flow1", self.dtype)
+        up0 = _Deconv(16, dtype=self.dtype, name="deconv0")(concat1)
         upflow0 = _UpFlow(dtype=self.dtype, name="upflow0")(flow1)
-        x0c = jnp.concatenate([x0, up0, upflow0], axis=-1)
-        x0c = c(16, 1, "interconv0")(x0c)
-        flow0 = _predict_flow(x0c, "predict_flow0", self.dtype)
+        concat0 = jnp.concatenate([x0, up0, upflow0], axis=-1)
+        inter0 = iconv(16, "interconv0")(concat0)
+        flow0 = _predict_flow(inter0, "predict_flow0", self.dtype)
         return flow0
 
 

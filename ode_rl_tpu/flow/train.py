@@ -41,10 +41,14 @@ def synthetic_flow_batch(key, sprite_bank, batch: int = 8, size: int = 64
     return img1, img2, flow
 
 
-def make_flow_train_step(model, lr: float = 1e-4,
-                         loss_norm: str = "l1") -> Tuple[Callable, Callable]:
-    """Returns (init_fn, step_fn) for a pyramid-output flow net
-    (FlowNetS/C/SD)."""
+def make_flow_train_step(model, lr: float = 1e-4, loss_norm: str = "l1",
+                         single_scale: bool = False
+                         ) -> Tuple[Callable, Callable]:
+    """Returns (init_fn, step_fn) for a flow net. Pyramid-output nets
+    (FlowNetS/C/SD) train with the MultiScale loss; ``single_scale=True``
+    is the stacked-FlowNet2 path — one full-resolution flow trained with
+    the plain L1/L2 loss (reference flownet2-pytorch losses.py:29-49,
+    the default --loss=L1Loss of main.py)."""
     tx = optax.adam(lr)
 
     def init_fn(key, sample_inputs):
@@ -54,7 +58,13 @@ def make_flow_train_step(model, lr: float = 1e-4,
     @jax.jit
     def step_fn(state, inputs, target_flow):
         def loss_fn(params):
-            flows = model.apply(params, *inputs)
+            out = model.apply(params, *inputs)
+            if single_scale:
+                d = out - target_flow
+                loss = (jnp.mean(jnp.abs(d)) if loss_norm == "l1"
+                        else jnp.mean(d * d))
+                return loss, epe(out, target_flow)
+            flows = out
             loss = multiscale_loss(flows, target_flow, norm=loss_norm)
             full = jax.image.resize(flows[0], target_flow.shape,
                                     "bilinear") * 4.0
@@ -72,7 +82,7 @@ def make_flow_train_step(model, lr: float = 1e-4,
 
 def train_flownet(model, steps: int = 100, batch: int = 8,
                   lr: float = 1e-4, seed: int = 0,
-                  pair_input: bool = True,
+                  pair_input: bool = True, single_scale: bool = False,
                   data_root=None, validate: bool = False) -> Dict:
     """Flow training run; returns final metrics. ``pair_input=False`` for
     FlowNetC (two-image signature).
@@ -96,7 +106,8 @@ def train_flownet(model, steps: int = 100, batch: int = 8,
     img1, img2, flow = draw(dk)
     mk_inputs = lambda i1, i2: ((jnp.concatenate([i1, i2], -1),)
                                 if pair_input else (i1, i2))
-    init_fn, step_fn = make_flow_train_step(model, lr=lr)
+    init_fn, step_fn = make_flow_train_step(model, lr=lr,
+                                            single_scale=single_scale)
     state = init_fn(jax.random.key(1), mk_inputs(img1, img2))
 
     metrics = {}
@@ -110,7 +121,8 @@ def train_flownet(model, steps: int = 100, batch: int = 8,
         val = FlyingChairsCorpus(data_root, batch_size=batch,
                                  is_train=False, seed=seed)
         out["val_epe"] = validate_epe(model, state["params"], val,
-                                      pair_input=pair_input)
+                                      pair_input=pair_input,
+                                      single_scale=single_scale)
     out["state"] = state
     return out
 

@@ -164,6 +164,10 @@ def _build_dreamer(cfg):
         deter=cfg.get("dyn_deter", 200),
         hidden=cfg.get("dyn_hidden", 200),
         discrete=cfg.get("dyn_discrete", 0),
+        mean_act=cfg.get("dyn_mean_act", "none"),
+        std_act=cfg.get("dyn_std_act", "sigmoid2"),
+        min_std=float(cfg.get("dyn_min_std", 0.1)),
+        cell_norm=cfg.get("dyn_cell", "gru_layer_norm") == "gru_layer_norm",
         kl_balance=float(cfg.get("kl_balance", 0.8)),
         kl_free=float(cfg.get("kl_free", 1.0)),
         kl_scale=float(cfg.get("kl_scale", 1.0)),

@@ -210,6 +210,15 @@ class RSSM(nn.Module):
         return jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, 1), prior)
 
     # ------------------------------------------------------------------
+    def entropy(self, state: State) -> jnp.ndarray:
+        """Latent-distribution entropy summed over factors (the
+        reference's prior_ent/post_ent diagnostics, models.py:75-77)."""
+        if self.discrete:
+            lp = jax.nn.log_softmax(state["logit"].astype(jnp.float32))
+            return -jnp.sum(jnp.exp(lp) * lp, axis=(-2, -1))
+        std = state["std"].astype(jnp.float32)
+        return jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * std**2), -1)
+
     def _logprob_and_kl(self, post: State, prior: State):
         """KL(post ‖ prior) per element, fp32."""
         if self.discrete:

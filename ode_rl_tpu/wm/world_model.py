@@ -34,6 +34,10 @@ class WorldModel(nn.Module):
     deter: int = 200
     hidden: int = 200
     discrete: int = 0
+    mean_act: str = "none"
+    std_act: str = "sigmoid2"   # reference dv2 default (configs.yaml:43)
+    min_std: float = 0.1
+    cell_norm: bool = True      # dyn_cell: gru_layer_norm (mmnist recipe)
     kl_balance: Any = 0.8
     kl_free: Any = 1.0
     kl_scale: Any = 1.0
@@ -48,6 +52,8 @@ class WorldModel(nn.Module):
                                    param_dtype=self.param_dtype)
         self.dynamics = RSSM(stoch=self.stoch, deter=self.deter,
                              hidden=self.hidden, discrete=self.discrete,
+                             mean_act=self.mean_act, std_act=self.std_act,
+                             min_std=self.min_std, cell_norm=self.cell_norm,
                              dtype=self.dtype, param_dtype=self.param_dtype)
         self.image_head = ConvDecoder(depth=self.cnn_depth,
                                       shape=self.image_shape,
@@ -98,6 +104,9 @@ class WorldModel(nn.Module):
         metrics = {
             "loss": model_loss, "kl_loss": kl_loss,
             "kl": jnp.mean(kl_value),
+            "prior_ent": jnp.mean(self.dynamics.entropy(prior)),
+            "post_ent": jnp.mean(self.dynamics.entropy(post)),
+            "kl_free": kl_free, "kl_scale": kl_scale,
             **{f"{k}_loss": v for k, v in losses.items()},
         }
         pred = mean.astype(jnp.float32)

@@ -18,6 +18,9 @@ Usage:
 ``--net S`` trains FlowNetS instead (concatenated-pair input, the
 reference's flownet2-pytorch/networks/FlowNetS.py contract) with its own
 default out/report paths — same train corpus, same held-out EPE protocol.
+``--net 2`` trains the full stacked FlowNet2 (C→S→S + SD + Fusion,
+162,518,834 params) with the reference's single-scale L1 loss on the
+fusion output (flownet2-pytorch main.py default --loss=L1Loss).
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--net", choices=["C", "S"], default="C")
+    ap.add_argument("--net", choices=["C", "S", "2"], default="C")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -42,23 +45,26 @@ def main() -> None:
     ap.add_argument("--report", default=None)
     ap.add_argument("--val_pairs", type=int, default=64)
     args = ap.parse_args()
-    tag = "flownetc" if args.net == "C" else "flownets"
+    tag = {"C": "flownetc", "S": "flownets", "2": "flownet2"}[args.net]
     if args.out is None:
         args.out = f"logs/flow/{tag}.msgpack"
     if args.report is None:
         args.report = f"results/round3/{tag}.json"
-    # FlowNetS consumes the channel-stacked image pair; FlowNetC takes the
-    # two images separately (correlation between feature towers).
+    # FlowNetS consumes the channel-stacked image pair; FlowNetC and the
+    # stacked FlowNet2 take the two images separately.
     pair_input = args.net == "S"
+    # FlowNet2 emits one full-resolution flow (the fusion output) rather
+    # than a pyramid — trained with the reference's plain L1 loss.
+    single_scale = args.net == "2"
 
     import jax
 
     from ode_rl_tpu.flow.data import (FlyingChairsCorpus, validate_epe,
                                       write_synthetic_chairs)
-    from ode_rl_tpu.flow.flownets import FlowNetC, FlowNetS
+    from ode_rl_tpu.flow.flownets import FlowNet2, FlowNetC, FlowNetS
     from ode_rl_tpu.flow.train import save_flownet_params, train_flownet
 
-    net = FlowNetC() if args.net == "C" else FlowNetS()
+    net = {"C": FlowNetC, "S": FlowNetS, "2": FlowNet2}[args.net]()
 
     # Held-out FlyingChairs-layout disk corpus for EPE validation (the
     # training stream is the on-device generator, so the entire disk
@@ -75,15 +81,18 @@ def main() -> None:
     dummy = jnp.zeros((1, 64, 64, 3))
     rand_params = (net.init(jax.random.key(0), jnp.concatenate([dummy] * 2, axis=-1))
                    if pair_input else net.init(jax.random.key(0), dummy, dummy))
-    rand_epe = validate_epe(net, rand_params, val(), pair_input=pair_input)
+    rand_epe = validate_epe(net, rand_params, val(), pair_input=pair_input,
+                            single_scale=single_scale)
     print(f"random-init FlowNet{args.net} val EPE: {rand_epe:.4f}")
 
     t0 = time.time()
     out = train_flownet(net, steps=args.steps, batch=args.batch,
-                        lr=args.lr, pair_input=pair_input)
+                        lr=args.lr, pair_input=pair_input,
+                        single_scale=single_scale)
     train_s = time.time() - t0
     trained_epe = validate_epe(net, out["state"]["params"], val(),
-                               pair_input=pair_input)
+                               pair_input=pair_input,
+                               single_scale=single_scale)
     print(f"trained  FlowNet{args.net} val EPE: {trained_epe:.4f} "
           f"(final train loss {out['loss']:.4f}, epe {out['epe']:.4f}; "
           f"{args.steps} steps in {train_s:.0f}s)")

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ode_rl_tpu.flow import (
     FlowNet2, FlowNetC, FlowNetS, epe, multiscale_loss)
@@ -41,8 +42,28 @@ def test_flownet2_full_stack():
     flow = model.apply(params, img1, img2)
     assert flow.shape == (1, 64, 64, 2)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    # reference FlowNet2 is 162.5M params; ours must be the same class
-    assert 1.0e8 < n < 2.0e8
+    # The reference pins "Parameter count = 162,518,834"
+    # (flownet2-pytorch/models.py:38); ours matches exactly — see
+    # scripts/flownet2_param_audit.py for the per-subnet reconciliation.
+    assert n == 162_518_834
+
+
+def test_flownet2_param_audit_vs_live_reference():
+    """Layer-multiset + per-subnet totals reconciled against the live
+    reference torch modules (constructed on CPU with the CUDA op
+    packages stubbed)."""
+    import pathlib
+    import sys
+    pytest.importorskip("torch")
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+    import flownet2_param_audit as audit
+    report = audit.audit()
+    assert report["mismatches"] == {}
+    assert report["total"]["reference"] == 162_518_834
+    assert report["total"]["ours_flownet2"] == 162_518_834
+    for net, row in report["nets"].items():
+        assert row["match"], f"{net}: {row}"
 
 
 def test_multiscale_loss_decreases_with_better_flow():
