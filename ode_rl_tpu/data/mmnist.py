@@ -76,6 +76,28 @@ def generate_moving_mnist(
     NHWC layout; the [-0.5, 0.5] range matches what the reference's
     DataLoader emits (reference dataloader.py:219-220).
     """
+    return _generate(key, sprite_bank, batch, n_frames, num_digits)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "n_frames", "num_digits"))
+def generate_moving_mnist_labeled(
+    key: jax.Array,
+    sprite_bank: jnp.ndarray,
+    batch: int,
+    n_frames: int,
+    num_digits: int = 1,
+):
+    """Labeled variant for disentanglement probes: returns
+    (video, sprite_idx (B, D) int32, positions (B, D, T, 2) int32).
+    Sprite identity is the content factor; the position trajectory is
+    the motion factor (the generator's two independent sources)."""
+    video, idx, pos = _generate(key, sprite_bank, batch, n_frames,
+                                num_digits)
+    return (video, idx.reshape(batch, num_digits),
+            pos.reshape(batch, num_digits, n_frames, 2))
+
+
+def _generate(key, sprite_bank, batch, n_frames, num_digits):
     n_bank = sprite_bank.shape[0]
     sprite_bank = sprite_bank.astype(jnp.float32)
 
@@ -113,7 +135,7 @@ def generate_moving_mnist(
     # Clamp: XLA turns /255 into a reciprocal multiply, which can land an
     # ulp above 1.0 for saturated pixels.
     video = jnp.clip(video[..., None] / 255.0 - 0.5, -0.5, 0.5)
-    return video
+    return video, idx, pos
 
 
 class MovingMNIST:
@@ -133,13 +155,19 @@ class MovingMNIST:
         data_dir: Optional[str] = None,
         seed: int = 0,
         is_train: bool = True,
+        num_sprites: int = 0,
     ):
         self.batch_size = batch_size
         self.n_frames_input = n_frames_input
         self.n_frames_output = n_frames_output
         self.n_frames_total = n_frames_input + n_frames_output
         self.num_digits = num_digits
-        self.sprite_bank = jnp.asarray(get_sprite_bank(data_dir))
+        bank = get_sprite_bank(data_dir)
+        if num_sprites:
+            # Restricted identity vocabulary (disentanglement probes:
+            # sprite index becomes a judgeable content class).
+            bank = bank[:num_sprites]
+        self.sprite_bank = jnp.asarray(bank)
         base = jax.random.key(seed if is_train else seed + 77_000_003)
         self._key = jax.random.fold_in(base, jax.process_index())
 
@@ -209,7 +237,11 @@ def parse_datasets(cfg) -> dict:
     # on-the-fly on-device generation.
     import pathlib
     frozen_root = pathlib.Path(str(cfg.get("data_dir", "")))
-    if (cfg.get("frozen", False) and (frozen_root / "meta.json").exists()):
+    _has_mp4 = lambda r: any(
+        list(d.glob("video_*.mp4"))
+        for d in (r, r / "train") if d.is_dir())
+    if cfg.get("frozen", False) and ((frozen_root / "meta.json").exists()
+                                     or _has_mp4(frozen_root)):
         from ode_rl_tpu.data.frozen import FrozenMovingMNIST
         mk = lambda train: iter(FrozenMovingMNIST(
             frozen_root, batch_size=cfg.batch_size,
@@ -233,6 +265,7 @@ def parse_datasets(cfg) -> dict:
         data_dir=cfg.get("data_dir"),
         seed=cfg.get("seed", 0),
         is_train=True,
+        num_sprites=int(cfg.get("num_sprites", 0) or 0),
     )
     test_loader = MovingMNIST(
         batch_size=cfg.batch_size,
@@ -242,6 +275,7 @@ def parse_datasets(cfg) -> dict:
         data_dir=cfg.get("data_dir"),
         seed=cfg.get("seed", 0),
         is_train=False,
+        num_sprites=int(cfg.get("num_sprites", 0) or 0),
     )
     return {
         "train_dataloader": iter(train_loader),

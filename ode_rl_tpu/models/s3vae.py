@@ -126,7 +126,7 @@ class S3VAEModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def predict(self, batch: Dict, train: bool = True
+    def predict(self, batch: Dict, train: bool = True, swap: bool = False
                 ) -> Tuple[jnp.ndarray, Dict]:
         inputs = batch["observed_data"].astype(self.dtype) + 0.5
         b, t_in, h, w, c = inputs.shape
@@ -230,32 +230,36 @@ class S3VAEModel(nn.Module):
         zt = mu_zt + std_zt * jax.random.normal(
             self.make_rng("sample"), mu_zt.shape, self.dtype)
 
-        if vec:
-            zf_rep = jnp.broadcast_to(zf[:, None, :],
-                                      (b, out_seq, zf.shape[-1]))
-            zf_zt = jnp.concatenate([zf_rep, zt], axis=-1)
-            dec_in = zf_zt.reshape(b * out_seq, 1, 1, -1)
-        else:
-            if use_slots:
-                # cgru_sa: slot vectors broadcast back over the latent
-                # grid and concat channel-wise (the reference's
-                # spatial_broadcast + view, S3VAE.py:271-275).
-                eh, ew = zt.shape[2], zt.shape[3]
-                zf_sp = jnp.broadcast_to(
-                    zf[:, None, None, :], (b, eh, ew, zf.shape[-1]))
-            else:
-                zf_sp = zf
-            zf_rep = jnp.broadcast_to(
-                zf_sp[:, None], (b, out_seq) + zf_sp.shape[1:])
-            zf_zt = jnp.concatenate([zf_rep, zt], axis=-1)
-            dec_in = zf_zt.reshape((b * out_seq,) + zf_zt.shape[2:])
-
         dec = FrameDecoder(encoder_type=self.encoder,
                            final_dim=self.in_channels, dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name="conv_decoder")
-        x_hat = jax.nn.sigmoid(dec(dec_in, train=train))
-        x_hat = x_hat.reshape(b, out_seq, h, w, self.in_channels)
+
+        def decode(zf_in, zt_in):
+            if vec:
+                zf_rep = jnp.broadcast_to(zf_in[:, None, :],
+                                          (b, out_seq, zf_in.shape[-1]))
+                zf_zt = jnp.concatenate([zf_rep, zt_in], axis=-1)
+                dec_in = zf_zt.reshape(b * out_seq, 1, 1, -1)
+            else:
+                if use_slots:
+                    # cgru_sa: slot vectors broadcast back over the latent
+                    # grid and concat channel-wise (the reference's
+                    # spatial_broadcast + view, S3VAE.py:271-275).
+                    eh, ew = zt_in.shape[2], zt_in.shape[3]
+                    zf_sp = jnp.broadcast_to(
+                        zf_in[:, None, None, :],
+                        (b, eh, ew, zf_in.shape[-1]))
+                else:
+                    zf_sp = zf_in
+                zf_rep = jnp.broadcast_to(
+                    zf_sp[:, None], (b, out_seq) + zf_sp.shape[1:])
+                zf_zt = jnp.concatenate([zf_rep, zt_in], axis=-1)
+                dec_in = zf_zt.reshape((b * out_seq,) + zf_zt.shape[2:])
+            x = jax.nn.sigmoid(dec(dec_in, train=train))
+            return x.reshape(b, out_seq, h, w, self.in_channels)
+
+        x_hat = decode(zf, zt)
 
         # DFP motion-grid logits (submodule must live in the compact
         # method; the loss consumes the logits from aux).
@@ -272,6 +276,16 @@ class S3VAEModel(nn.Module):
             "mu_zt": mu_zt, "std_zt": std_zt, "zt": zt,
             "prior_mu": prior_mu, "prior_std": prior_std,
         }
+        if swap:
+            # Disentanglement probe decodes (the code_sprite probe-forward
+            # pattern, reference code_sprite/models/DS_VAE.py:239-355):
+            # donor = batch rolled by one. x_swap_motion keeps each
+            # video's content code zf and takes the donor's motion code
+            # zt; x_swap_content is the converse.
+            aux["x_swap_motion"] = decode(
+                zf, jnp.roll(zt, 1, axis=0)).astype(jnp.float32)
+            aux["x_swap_content"] = decode(
+                jnp.roll(zf, 1, axis=0), zt).astype(jnp.float32)
         return x_hat.astype(jnp.float32), aux
 
     # ------------------------------------------------------------------

@@ -221,7 +221,10 @@ def train(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
     if fused:
         # One dispatch per step: generator + step in a single XLA program.
         from ode_rl_tpu.data.sprites import get_sprite_bank
-        bank = jnp.asarray(get_sprite_bank(cfg.get("data_dir")))
+        bank = get_sprite_bank(cfg.get("data_dir"))
+        if int(cfg.get("num_sprites", 0) or 0):
+            bank = bank[:int(cfg.num_sprites)]
+        bank = jnp.asarray(bank)
         fused_step = make_fused_train_step(model, cfg, bank, mesh=mesh,
                                            flow_label_fn=flow_label_fn)
         loop_key = jax.random.fold_in(rng, 0xDA7A)

@@ -1,5 +1,6 @@
 """Tests for Vid-ODE samplers, video transforms, LPIPS, and visuals."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,6 +112,7 @@ def test_rotation_preserves_shape():
 
 # -------------------------------- LPIPS -----------------------------------
 
+@pytest.mark.slow
 def test_lpips_zero_for_identical_and_positive_else():
     variables = init_lpips()
     a = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
@@ -121,6 +123,7 @@ def test_lpips_zero_for_identical_and_positive_else():
     assert (np.asarray(d_diff) > 0).all()
 
 
+@pytest.mark.slow
 def test_lpips_monotone_in_noise():
     variables = init_lpips()
     a = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))

@@ -70,6 +70,7 @@ def test_chairs_pairing_invariant(chairs):
     assert np.abs(warped - img2).mean() < 0.02
 
 
+@pytest.mark.slow
 def test_disk_training_and_epe_validation(chairs):
     from ode_rl_tpu.flow import FlowNetS
     from ode_rl_tpu.flow.train import train_flownet
@@ -93,6 +94,7 @@ def test_flow_grid_labels_format():
     assert np.asarray(labels).sum(-1).max() == 1
 
 
+@pytest.mark.slow
 def test_flownet_label_fn_end_to_end():
     """flow_label_source=flownet: labels computed from FlowNetC flow in
     one jitted call, same format as the frame-diff proxy."""
@@ -112,6 +114,7 @@ def test_flownet_label_fn_end_to_end():
     assert np.asarray(labels).sum(-1).max() == 3   # top-3 multi-hot
 
 
+@pytest.mark.slow
 def test_flownet_label_source_requires_trained_weights(tmp_path):
     """flow_label_source=flownet without trained weights is a hard error
     (the reference's DFP labels come from a TRAINED flow net,

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ode_rl_tpu.flow import FlowNetS
 from ode_rl_tpu.flow.train import synthetic_flow_batch, train_flownet
@@ -21,6 +22,7 @@ def test_synthetic_flow_ground_truth_consistency():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flow_training_runs_and_is_finite():
     m = train_flownet(FlowNetS(), steps=3, batch=2)
     assert np.isfinite(m["loss"]) and np.isfinite(m["epe"])

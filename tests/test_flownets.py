@@ -35,6 +35,7 @@ def test_flownetc_uses_correlation():
     assert flows[0].shape == (1, 16, 16, 2)
 
 
+@pytest.mark.slow
 def test_flownet2_full_stack():
     img1, img2 = _pair()
     model = FlowNet2()
@@ -48,6 +49,7 @@ def test_flownet2_full_stack():
     assert n == 162_518_834
 
 
+@pytest.mark.slow
 def test_flownet2_param_audit_vs_live_reference():
     """Layer-multiset + per-subnet totals reconciled against the live
     reference torch modules (constructed on CPU with the CUDA op

@@ -2,6 +2,7 @@
 reach the optimizer, and the loop must run periodic in-training evals with
 image dumps (reference Vid-ODE/main.py:214-215, 256-290)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def test_lr_schedule_disabled():
     np.testing.assert_allclose(float(sched(1000)), 1e-3, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_gan_step_decays_lr_into_optimizer():
     """The schedule must be wired into the Adamax chain, not just logged:
     after steps_per_epoch steps the applied LR (telemetry) drops 0.99×."""
@@ -57,6 +59,7 @@ def test_gan_step_decays_lr_into_optimizer():
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_train_gan_loop_periodic_eval(tmp_path):
     """train_gan end-to-end: eval hook fires every gan_test_freq_epochs,
     dumps an image sheet, and reports test metrics."""
@@ -86,6 +89,7 @@ def test_train_gan_loop_periodic_eval(tmp_path):
     assert np.isclose(result["lr"], 1e-3 * 0.99, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_step_interp_mode_runs():
     """Interpolation-mode GAN (extrapolate=False): the seq discriminator
     sees identity-masked single-frame swaps of the real context
@@ -109,6 +113,7 @@ def test_gan_step_interp_mode_runs():
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_gan_state_extrap_seq_disc_width():
     """Extrapolation-mode seq discriminator is built for (t_ctx+1)·c
     input channels (reference gan.py:162-177 create_netD sizing)."""

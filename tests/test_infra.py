@@ -83,6 +83,7 @@ def test_early_stopping():
     assert es.should_stop
 
 
+@pytest.mark.slow
 def test_plateau_lr_scale_wired_into_train_state():
     """lr_scheduler: plateau puts a host-settable scale in opt_state; the
     same jitted step then takes a smaller parameter step (no recompile)."""
@@ -196,8 +197,13 @@ def test_plot_runs_against_baseline_curves(tmp_path):
     records += pr.load_baseline_records([score_file])
     curves = pr.aggregate(records, bins=5)
     assert ("ODEConv", "exp") in curves and ("ODEConv", "published") in curves
-    _, mean, std = curves[("ODEConv", "exp")]
-    assert np.isfinite(mean).all() and (std > 0).any()  # 2 seeds differ
+    exp = curves[("ODEConv", "exp")]
+    mean, band = exp["mid"], exp["hi"] - exp["lo"]
+    assert np.isfinite(mean).all() and (band > 0).any()  # 2 seeds differ
+    # median mode yields a 20/80 percentile band on the same bins
+    med = pr.aggregate(records, bins=5, mode="median")[("ODEConv", "exp")]
+    assert np.allclose(med["xs"], exp["xs"])
+    assert (med["hi"] >= med["lo"]).all()
 
 
 # ------------------------------- profiler ----------------------------------

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def test_batch_sharding_layout():
     assert all(s is None for s in obs_tp_spec)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """SPMD data-parallel step must be numerically equivalent to the
     unsharded step (gradient all-reduce inserted by XLA)."""
@@ -78,6 +80,7 @@ def test_sp_mesh_axes_and_layout():
     assert all(s is None for s in sharded["observed_tp"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_sp_sharded_train_step_matches_single_device():
     """dp×sp step (batch over 'data', frame height over 'space') must be
     numerically equivalent — GSPMD inserts the conv halo exchanges."""

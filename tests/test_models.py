@@ -43,6 +43,7 @@ def test_predict_shape_and_range(model_fn):
 
 
 @pytest.mark.parametrize("model_fn", [small_convgru, small_odeconvgru])
+@pytest.mark.slow
 def test_loss_decreases(model_fn):
     model = model_fn()
     batch = tiny_batch()
@@ -108,6 +109,7 @@ def test_long_horizon_eval():
     assert pred.shape == (2, 20, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_cgrudecode_ode_decoder_path():
     """cgrudecODE: ConvGRU encoder + Neural-ODE decode (the capability the
     reference's main.py:57-58 flag promises; its DecODEr draft never ran)."""
@@ -184,6 +186,7 @@ def test_odeconvgru_z_sample_kl_regularizer():
     assert float(m_inf["z0_kl"]) > 4.0 * float(metrics["z0_kl"])
 
 
+@pytest.mark.slow
 def test_mem_variant_shipped_config_health():
     """Regression pin for the mem-variant stiff-regime failure mode
     (round-2 HANDOFF #3): at the SHIPPED train_mmnist_odecgrumem
@@ -217,6 +220,7 @@ def test_mem_variant_shipped_config_health():
             f"mem variant near its NFE budget: {m['nfe']} vs {budget_nfe}")
 
 
+@pytest.mark.slow
 def test_z_sample_shipped_config_wires_kl_and_nan_guard():
     """Regression pin for the z_sample divergence fix (round-3): the
     SHIPPED train_mmnist_sample_odecgru block must reach the model with

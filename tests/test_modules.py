@@ -1,5 +1,6 @@
 """Unit tests for nn modules: slot attention, RIMs, C3D, ConvGRU cell."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ from ode_rl_tpu.nn.slot_attention import SlotAttention, spatial_broadcast
 
 # ----------------------------- slot attention ------------------------------
 
+@pytest.mark.slow
 def test_slot_attention_shapes_and_permutation_invariance():
     model = SlotAttention(num_slots=3, num_iterations=2, slot_size=16)
     x = jax.random.normal(jax.random.key(0), (2, 10, 8))
@@ -100,6 +102,7 @@ def test_block_gru_is_block_diagonal():
     assert float(jnp.abs(g[:, :4]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_blocks_core_topk_mask():
     core = BlocksCore(ninp=16, n_hid=32, num_blocks_in=1, num_blocks_out=4,
                       topkval=2)
@@ -119,6 +122,7 @@ def test_blocks_core_topk_mask():
                                np.asarray(hx)[inactive])
 
 
+@pytest.mark.slow
 def test_rim_stack_over_time():
     rim = RIM(ninp=16, n_hid=[32], num_blocks=[4], topk=[2])
     xs = jax.random.normal(jax.random.key(0), (2, 6, 16))
@@ -149,6 +153,7 @@ def test_block_conv_gru_is_block_diagonal():
     assert float(jnp.abs(g[..., :4]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_conv_blocks_core_topk_mask_and_state_keep():
     from ode_rl_tpu.nn.rims import ConvBlocksCore
 
@@ -168,6 +173,7 @@ def test_conv_blocks_core_topk_mask_and_state_keep():
                                np.asarray(hx)[inactive])
 
 
+@pytest.mark.slow
 def test_conv_rim_over_time():
     from ode_rl_tpu.nn.rims import ConvRIM
 
@@ -185,6 +191,7 @@ def test_conv_rim_over_time():
 
 # --------------------------------- C3D -------------------------------------
 
+@pytest.mark.slow
 def test_c3d_encoder_default_shapes():
     enc = C3DEncoder(out_channels=24, mode="default")
     x = jnp.zeros((2, 13, 32, 32, 8))
@@ -194,6 +201,7 @@ def test_c3d_encoder_default_shapes():
     assert out.shape == (2, 3, 1, 1, 24)
 
 
+@pytest.mark.slow
 def test_c3d_encoder_cgru_shapes():
     enc = C3DEncoder(out_channels=24, mode="cgru")
     x = jnp.zeros((2, 16, 32, 32, 8))
@@ -203,6 +211,7 @@ def test_c3d_encoder_cgru_shapes():
     assert out.shape[2] == 4 and out.shape[3] == 4  # 4×4 spatial
 
 
+@pytest.mark.slow
 def test_slot_decoder_ranges():
     dec = SlotCNNDecoder(out_channels=1, variant="s2vae")
     x = jax.random.normal(jax.random.key(0), (4, 1, 1, 64))

@@ -158,6 +158,7 @@ def test_nfe_scales_with_tolerance():
 
 # ------------------------- O(NFE) fast adjoint -----------------------------
 
+@pytest.mark.slow
 def test_fast_adjoint_matches_scan_solver():
     """The while_loop + custom-VJP solver (ode/fast.py) must match the
     differentiable-scan solver in both values and gradients."""

@@ -243,6 +243,7 @@ def test_ode_dynamics_field_vs_reference(ref_modules):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_create_convnet_final_tanh_vs_reference(ref_modules):
     """final_act=True appends a Tanh (reference helpers/utils.py:179-181)
     — our final_tanh flag must match."""

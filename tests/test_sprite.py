@@ -1,5 +1,6 @@
 """Tests for the code_sprite DisentangledVAE family."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_sprites_loader_infinite():
     assert float(jnp.abs(v1 - v2).max()) > 0
 
 
+@pytest.mark.slow
 def test_dsvae_loss_and_outputs():
     video, _, _ = sprites_batch(jax.random.key(0), batch=2, n_frames=4)
     model, v, batch = _model_and_vars(video)
@@ -49,6 +51,7 @@ def test_dsvae_loss_and_outputs():
         assert k in metrics
 
 
+@pytest.mark.slow
 def test_dsvae_probe_forwards():
     video, _, _ = sprites_batch(jax.random.key(0), batch=4, n_frames=4)
     model, v, _ = _model_and_vars(video)
@@ -61,6 +64,7 @@ def test_dsvae_probe_forwards():
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_fixed_motion_shares_dynamics():
     """fixed_motion must render the SAME motion for every sample."""
     video, _, _ = sprites_batch(jax.random.key(0), batch=4, n_frames=4)
@@ -74,6 +78,7 @@ def test_fixed_motion_shares_dynamics():
     assert d.shape[0] == 4
 
 
+@pytest.mark.slow
 def test_judge_learns_actions_from_z():
     """After a few supervised steps on ground-truth labels with frozen
     latents, the judge's action accuracy must beat chance."""

@@ -48,6 +48,7 @@ S3_VARIANTS = [
 
 
 @pytest.mark.parametrize("name,kw", S3_VARIANTS, ids=[v[0] for v in S3_VARIANTS])
+@pytest.mark.slow
 def test_s3vae_variants_train(name, kw):
     batch = batch_for(5, 5, flow=True)
     model = S3VAEModel(in_channels=1, d_zf=kw.pop("d_zf", 32),
@@ -58,6 +59,7 @@ def test_s3vae_variants_train(name, kw):
         assert key in m
 
 
+@pytest.mark.slow
 def test_s3vae_all_losses_contribute():
     """Each loss-term weight must change the total (no dead terms)."""
     batch = batch_for(5, 5, flow=True)
@@ -72,6 +74,7 @@ def test_s3vae_all_losses_contribute():
     assert abs(total - reconstructed) / abs(total) < 1e-4
 
 
+@pytest.mark.slow
 def test_s3vae_eval_reconstructs_full_sequence():
     batch = batch_for(5, 3)
     model = S3VAEModel(in_channels=1, d_zf=32, d_zt=8, n_hid=64,
@@ -85,6 +88,7 @@ def test_s3vae_eval_reconstructs_full_sequence():
     assert metrics["mse"].shape == (8,)
 
 
+@pytest.mark.slow
 def test_s3vae_batchnorm_stats_update():
     batch = batch_for(5, 5, flow=True)
     model = S3VAEModel(in_channels=1, d_zf=32, d_zt=8, n_hid=64,
@@ -100,6 +104,7 @@ def test_s3vae_batchnorm_stats_update():
 
 # ------------------------------- S2VAE ------------------------------------
 
+@pytest.mark.slow
 def test_s2vae_gru_trains():
     batch = batch_for(13, 4)
     model = S2VAEModel(in_channels=1, d_zf=32, num_slots=2, slot_size=32,
@@ -108,6 +113,7 @@ def test_s2vae_gru_trains():
     assert "kl_loss" in m
 
 
+@pytest.mark.slow
 def test_s2vae_inferred_prior_changes_kl():
     batch = batch_for(13, 4)
     m_std = run_steps(S2VAEModel(in_channels=1, d_zf=32, num_slots=2,
@@ -117,6 +123,7 @@ def test_s2vae_inferred_prior_changes_kl():
     assert float(m_std["kl_loss"]) != float(m_inf["kl_loss"])
 
 
+@pytest.mark.slow
 def test_s2vae_masked_decoding():
     batch = batch_for(13, 4)
     model = S2VAEModel(in_channels=1, d_zf=32, num_slots=2, slot_size=32,
@@ -128,6 +135,7 @@ def test_s2vae_masked_decoding():
     assert 0.0 <= float(pred.min()) and float(pred.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_cs2vae_conv_transition():
     batch = batch_for(13, 4)
     model = S2VAEModel(in_channels=1, d_zf=32, num_slots=2, slot_size=32,
@@ -137,6 +145,7 @@ def test_cs2vae_conv_transition():
 
 # ------------------------------- DS2VAE -----------------------------------
 
+@pytest.mark.slow
 def test_ds2vae_complete_model_trains():
     """The reference leaves DS2VAE unfinished (get_loss is `pass`); ours
     must produce finite losses with all three terms."""
@@ -150,6 +159,7 @@ def test_ds2vae_complete_model_trains():
 
 # ------------------------------- VidODE -----------------------------------
 
+@pytest.mark.slow
 def test_vidode_trains_and_loss_decreases():
     batch = batch_for(5, 4)
     model = VidODEModel(in_channels=1, n_downs=2, base_ch=8, n_layers=1,
@@ -159,6 +169,7 @@ def test_vidode_trains_and_loss_decreases():
     assert "recon_l1" in m and "diff_l1" in m and "nfe" in m
 
 
+@pytest.mark.slow
 def test_vidode_composition_structure():
     """Flow/intermediate/mask decomposition must reconstruct the pred."""
     batch = batch_for(5, 3)

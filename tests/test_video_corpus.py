@@ -102,6 +102,7 @@ def test_sampler_integration(corpora):
         frames.shape[1] // 2,)
 
 
+@pytest.mark.slow
 def test_kth_vidode_trains_end_to_end(corpora, tmp_path):
     """`--configs defaults train_kth_vidode` on a synthetic KTH corpus:
     the VERDICT item-4 done criterion, via the real train loop."""
@@ -121,6 +122,7 @@ def test_kth_vidode_trains_end_to_end(corpora, tmp_path):
     assert np.isfinite(result["loss"])
 
 
+@pytest.mark.slow
 def test_frozen_train_auto_resumes(corpora, tmp_path):
     """Auto-resume on the frozen-data (non-fused) path: rerunning the
     same config continues from the saved step. Regression for a local

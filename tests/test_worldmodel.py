@@ -20,6 +20,7 @@ def _embed(b=2, t=5, e=16):
 
 
 @pytest.mark.parametrize("discrete", [0, 8])
+@pytest.mark.slow
 def test_rssm_observe_shapes(discrete):
     rssm = RSSM(stoch=6, deter=16, hidden=16, discrete=discrete)
     embed = _embed()
@@ -38,6 +39,7 @@ def test_rssm_observe_shapes(discrete):
         assert (np.asarray(post["std"]) > 0).all()
 
 
+@pytest.mark.slow
 def test_rssm_imagine_open_loop():
     rssm = RSSM(stoch=6, deter=16, hidden=16)
     embed = _embed()
@@ -67,6 +69,7 @@ def test_rssm_kl_balanced_and_free_bits():
     np.testing.assert_allclose(np.asarray(value0), 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_world_model_trains():
     loader = iter(MovingMNIST(batch_size=2, n_frames_input=6,
                               n_frames_output=0))
@@ -81,6 +84,7 @@ def test_world_model_trains():
     assert "kl_loss" in m and "image_loss" in m
 
 
+@pytest.mark.slow
 def test_dreamer_adapter_standard_api():
     """Dreamer must train through the framework's generic train step."""
     from ode_rl_tpu.train.step import create_train_state, make_train_step
@@ -101,6 +105,7 @@ def test_dreamer_adapter_standard_api():
     assert pred.shape == (2, 3, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_spatial_rssm_stochastic_gates():
     m = SpatialRSSM(stoch_ch=4, deter_ch=8, hidden_ch=8, latent_hw=8,
                     stochastic_gates=True)
@@ -162,6 +167,7 @@ def test_cem_planner_finds_target():
                                atol=0.05)
 
 
+@pytest.mark.slow
 def test_classifier_trains_on_worldmodel_features():
     """End-to-end CATER-style pipeline on synthetic labels: world-model
     posterior features → FeatureClassifier, trained until mAP beats
@@ -246,6 +252,7 @@ def test_cater_layout_corpus_and_loader(tmp_path):
     assert len(val) == 1
 
 
+@pytest.mark.slow
 def test_train_cater_classifier_end_to_end(tmp_path):
     """The CLI CATER entry end-to-end on a tiny corpus: trains, sweeps the
     val split, writes cater_eval.json, and returns the metric dict
@@ -273,6 +280,7 @@ def test_train_cater_classifier_end_to_end(tmp_path):
             / "cater_eval.json").exists()
 
 
+@pytest.mark.slow
 def test_spatial_world_model_trains_and_predicts():
     """SpatialWorldModel (ModelBasedRL_TF_V2 training capability): loss
     with sparsity term decreases over a few steps; predict returns
