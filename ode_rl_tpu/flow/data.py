@@ -167,8 +167,12 @@ def validate_epe(model, params, corpus, pair_input: bool = True,
 
     from ode_rl_tpu.flow.losses import epe
 
+    # params must be a traced ARGUMENT, not a closure capture: jit folds
+    # captured arrays into the HLO as literal constants, and FlowNet2's
+    # 162.5M fp32 params (~650 MB) blow past the remote-compile transport
+    # limit on the tunneled TPU backend (HTTP 413).
     @jax.jit
-    def batch_epe(img1, img2, flow):
+    def batch_epe(params, img1, img2, flow):
         inputs = ((jnp.concatenate([img1, img2], axis=-1),) if pair_input
                   else (img1, img2))
         flows = model.apply(params, *inputs)
@@ -191,8 +195,8 @@ def validate_epe(model, params, corpus, pair_input: bool = True,
     for b, (img1, img2, flow) in enumerate(corpus):
         if max_batches is not None and b >= max_batches:
             break
-        total += float(batch_epe(jnp.asarray(img1), jnp.asarray(img2),
-                                 jnp.asarray(flow)))
+        total += float(batch_epe(params, jnp.asarray(img1),
+                                 jnp.asarray(img2), jnp.asarray(flow)))
         n += 1
         if n >= len(corpus):
             break

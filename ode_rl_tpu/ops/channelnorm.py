@@ -51,20 +51,33 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _cn_with_vjp(interpret: bool):
-    """Pallas forward, backward from AD of the XLA formula (pallas_call is
-    not differentiable; the reference hand-writes the CUDA backward)."""
+def _cn_op(mode: str):
+    """channelnorm with a hand-written backward (the reference hand-writes
+    the CUDA backward too, channelnorm_kernel.cu:64): d norm/dx = x/norm,
+    made safe at norm==0 where plain AD of sqrt(sum x²) yields 0/0 = NaN.
+    That case is real, not theoretical: FlowNet2's stacking feeds
+    brightness-error diffs through channelnorm (flownets.py:268,320) and
+    synthetic MNIST frames have exactly-zero backgrounds — unguarded AD
+    NaN'd the whole stacked-FlowNet2 training run. The subgradient 0 is
+    used at x=0 (norm clamped away from zero; x·g/max(norm,eps) → 0)."""
+
+    def _forward(x):
+        if mode == "xla":
+            return _channelnorm_xla(x)
+        return _channelnorm_pallas(x, interpret=(mode == "interpret"))
 
     @jax.custom_vjp
     def op(x):
-        return _channelnorm_pallas(x, interpret=interpret)
+        return _forward(x)
 
     def fwd(x):
         return op(x), x
 
     def bwd(x, g):
-        _, vjp = jax.vjp(_channelnorm_xla, x)
-        return vjp(g)
+        xf = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+        gx = xf * (g.astype(jnp.float32) / jnp.maximum(norm, 1e-12))
+        return (gx.astype(x.dtype),)
 
     op.defvjp(fwd, bwd)
     return op
@@ -73,5 +86,5 @@ def _cn_with_vjp(interpret: bool):
 def channelnorm(x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """(B, H, W, C) → (B, H, W, 1) per-pixel L2 norm over channels."""
     if impl == "xla" or (impl == "auto" and not use_pallas()):
-        return _channelnorm_xla(x)
-    return _cn_with_vjp(impl == "interpret")(x)
+        return _cn_op("xla")(x)
+    return _cn_op("interpret" if impl == "interpret" else "pallas")(x)
