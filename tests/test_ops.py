@@ -214,6 +214,26 @@ def test_channelnorm_gradient():
     np.testing.assert_allclose(np.asarray(g_int), np.asarray(g_xla), atol=1e-5)
 
 
+def test_channelnorm_gradient_finite_at_zero():
+    """Regression: exactly-zero pixels (MNIST background through the
+    FlowNet2 brightness-error stacking) must not NaN the backward —
+    plain AD of sqrt(sum x²) gives 0/0 there; the hand-written VJP
+    uses the 0 subgradient. This NaN'd a full FlowNet2 training run."""
+    x = jnp.zeros((1, 4, 4, 3))
+    for impl in ("xla", "interpret"):
+        g = jax.grad(lambda x, i=impl: jnp.sum(channelnorm(x, impl=i)))(x)
+        assert np.isfinite(np.asarray(g)).all()
+    # Mixed case: one zero pixel inside an otherwise-normal image keeps
+    # the nonzero-pixel gradients exact.
+    y = jax.random.normal(jax.random.key(3), (1, 4, 4, 3)) + 2.0
+    y = y.at[0, 0, 0].set(0.0)
+    g = jax.grad(lambda y: jnp.sum(channelnorm(y, impl="xla")))(y)
+    assert np.isfinite(np.asarray(g)).all()
+    norm = np.sqrt((np.asarray(y) ** 2).sum(-1, keepdims=True))
+    expect = np.where(norm > 0, np.asarray(y) / np.maximum(norm, 1e-12), 0.0)
+    np.testing.assert_allclose(np.asarray(g), expect, atol=1e-5)
+
+
 def test_fused_gates_gradient():
     c = 16
     gates_raw = jax.random.normal(jax.random.key(0), (1, 8, 8, 2 * c))
