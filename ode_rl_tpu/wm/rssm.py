@@ -139,14 +139,20 @@ class RSSM(nn.Module):
         return stats["mean"]
 
     # ------------------------------------------------------------------
-    def img_step(self, prev_state: State, key, sample: bool = True
-                 ) -> State:
+    def img_step(self, prev_state: State, key, sample: bool = True,
+                 action: jnp.ndarray = None) -> State:
+        """Prior transition. ``action`` (B, A) optionally conditions the
+        dynamics — the reference RSSM always concatenates prev_action to
+        prev_stoch (dreamerv2/networks.py img_step); the video models
+        here run action-free, so it stays optional."""
         act = _act(self.act)
         prev_stoch = prev_state["stoch"]
         if self.discrete:
             prev_stoch = prev_stoch.reshape(
                 prev_stoch.shape[:-2] + (self.stoch * self.discrete,))
         x = prev_stoch
+        if action is not None:
+            x = jnp.concatenate([x, action.astype(x.dtype)], -1)
         for layer in self._in_layers:
             x = act(layer(x))
         deter = prev_state["deter"]
@@ -160,9 +166,10 @@ class RSSM(nn.Module):
         return {"stoch": stoch, "deter": deter, **stats}
 
     def obs_step(self, prev_state: State, embed: jnp.ndarray, key,
-                 sample: bool = True) -> Tuple[State, State]:
+                 sample: bool = True,
+                 action: jnp.ndarray = None) -> Tuple[State, State]:
         k1, k2 = jax.random.split(key)
-        prior = self.img_step(prev_state, k1, sample)
+        prior = self.img_step(prev_state, k1, sample, action=action)
         act = _act(self.act)
         x = (jnp.concatenate([prior["deter"], embed], -1)
              if self.temp_post else embed)
