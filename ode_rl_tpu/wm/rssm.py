@@ -182,14 +182,34 @@ class RSSM(nn.Module):
 
     # ------------------------------------------------------------------
     def observe(self, embed: jnp.ndarray, key,
-                state: Optional[State] = None
+                state: Optional[State] = None,
+                actions: Optional[jnp.ndarray] = None
                 ) -> Tuple[State, State]:
-        """embed: (B, T, E) → (post, prior) with (B, T, …) leaves."""
+        """embed: (B, T, E) → (post, prior) with (B, T, …) leaves.
+        ``actions`` (B, T, A) optionally conditions each transition
+        (action_t precedes obs_t, the reference's convention)."""
         b, t = embed.shape[:2]
         if state is None:
             state = self.initial(b)
         keys = jax.random.split(key, t)
         embed_t = jnp.moveaxis(embed, 1, 0)
+
+        if actions is not None:
+            actions_t = jnp.moveaxis(actions, 1, 0)
+
+            def body_a(mod, carry, xs):
+                e_t, k_t, a_t = xs
+                post, prior = mod.obs_step(carry, e_t, k_t, action=a_t)
+                return post, (post, prior)
+
+            scan_a = nn.scan(body_a, variable_broadcast="params",
+                             split_rngs={"params": False}, in_axes=0,
+                             out_axes=0)
+            _, (post, prior) = scan_a(self, state,
+                                      (embed_t, keys, actions_t))
+            to_bt = lambda v: jnp.moveaxis(v, 0, 1)
+            return (jax.tree_util.tree_map(to_bt, post),
+                    jax.tree_util.tree_map(to_bt, prior))
 
         def body(mod, carry, xs):
             e_t, k_t = xs

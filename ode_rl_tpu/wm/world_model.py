@@ -44,6 +44,7 @@ class WorldModel(nn.Module):
     kl_forward: bool = False
     pred_discount: bool = False
     discount_scale: float = 1.0
+    pred_reward: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -63,6 +64,13 @@ class WorldModel(nn.Module):
             self.discount_head = DenseHead(shape=(), layers=4, units=400,
                                            dist="binary", dtype=self.dtype,
                                            param_dtype=self.param_dtype)
+        if self.pred_reward:
+            # The reference RL world model always carries heads['reward']
+            # (dreamerv2/models.py:28-30); the action-free video models
+            # here keep it off.
+            self.reward_head = DenseHead(shape=(), layers=4, units=400,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype)
 
     # ------------------------------------------------------------------
     def loss(self, batch: Dict, train: bool = True, step: int = 0,
@@ -75,7 +83,8 @@ class WorldModel(nn.Module):
         image = batch["image"].astype(self.dtype)
         key = self.make_rng("sample")
         embed = self.encoder(image)
-        post, prior = self.dynamics.observe(embed, key)
+        post, prior = self.dynamics.observe(embed, key,
+                                            actions=batch.get("action"))
 
         kl_balance = schedule(self.kl_balance, step)
         kl_free = schedule(self.kl_free, step)
@@ -99,6 +108,10 @@ class WorldModel(nn.Module):
             dmean = self.discount_head(feat)
             dlp = self.discount_head.log_prob(dmean, batch["discount"])
             losses["discount"] = -jnp.mean(dlp) * self.discount_scale
+        if self.pred_reward and "reward" in batch:
+            rmean = self.reward_head(feat)
+            rlp = self.reward_head.log_prob(rmean, batch["reward"])
+            losses["reward"] = -jnp.mean(rlp)
 
         model_loss = sum(losses.values()) + kl_loss
         metrics = {
