@@ -171,9 +171,11 @@ def _mmnist_state(block: str, batch_size: int, with_flow: bool = False,
 def bench_s3vae() -> None:
     """S3VAE (4-term loss) on the extrap config: encoder='default'
     (nn/s3vae_nets.py FrameEncoder plan 64/128/256/512 + 4×4 head),
-    TWO encoder passes per step (anchor + other-video; the shuffled
-    positive reuses the anchor features), full-sequence decode
-    (FrameDecoder: 4×4 deconv-in + 4 upsample-conv stages)."""
+    ONE encoder pass per step (the SCC negative is a batch permutation
+    of the same frames — re-encoding was the identity and is reused
+    since round 4, models/s3vae.py; the shuffled positive reuses the
+    anchor features too), full-sequence decode (FrameDecoder: 4×4
+    deconv-in + 4 upsample-conv stages)."""
     from ode_rl_tpu.models import build_model
     from ode_rl_tpu.train.step import create_train_state, make_train_step
 
@@ -205,10 +207,10 @@ def bench_s3vae() -> None:
     # GRU heads (static ×3, dynamic posterior + free-run, prior) at
     # hidden≤256 over T: ≈ 3·2·(in+h)·3h per step — ~1% of the convs.
     gru = 5 * t_in * (2.0 * 512 * 3 * 256)
-    fwd = b * (2 * t_in * enc + t_all * dec + gru)
+    fwd = b * (t_in * enc + t_all * dec + gru)
     _report("s3vae", step_s, b * t_all, fwd,
             extra={"batch_size": b, "seq_len": t_all,
-                   "encoder_passes": 2})
+                   "encoder_passes": 1})
 
 
 def bench_vidode_gan() -> None:

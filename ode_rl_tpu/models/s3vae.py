@@ -199,7 +199,14 @@ class S3VAEModel(nn.Module):
         feats = encode(inputs)
         perm_t = jax.random.permutation(self.make_rng("sample"), t_in)
         perm_b = jax.random.permutation(self.make_rng("sample"), b)
-        other_feats = encode(inputs[perm_b])
+        # The reference re-encodes the batch-permuted video for the SCC
+        # negative (S3VAE.py:251-259); the frame encoder is frame-wise
+        # and its BatchNorm statistics are computed over the flattened
+        # (b·t) frames — the same multiset under a batch permutation —
+        # so re-encoding is mathematically the identity on a permutation
+        # of `feats`. Reusing it deletes one of the bench's two encoder
+        # passes (pinned equal in test_vae_models.py).
+        other_feats = feats[perm_b]
 
         mu_zf, lv_zf = static_rep(feats)
         pos_mu, pos_lv = static_rep(feats[:, perm_t])

@@ -102,6 +102,33 @@ def test_s3vae_batchnorm_stats_update():
     assert float(jnp.abs(before - after).max()) > 0  # running stats moved
 
 
+def test_s3vae_scc_negative_reuse_is_exact():
+    """The SCC negative's encoder pass is the identity on a batch
+    permutation of the anchor features: the FrameEncoder is frame-wise
+    and its BatchNorm statistics are over the flattened (b·t) frames —
+    invariant under a batch permutation. Pins the reuse optimization in
+    models/s3vae.py (one encoder pass instead of two per step)."""
+    from ode_rl_tpu.nn.s3vae_nets import FrameEncoder
+
+    b, t = 4, 3
+    frames = jax.random.normal(jax.random.key(0), (b, t, 64, 64, 1))
+    perm_b = jax.random.permutation(jax.random.key(1), b)
+    enc = FrameEncoder(encoder_type="default", out_dims=16)
+    flat = frames.reshape(b * t, 64, 64, 1)
+    variables = enc.init(jax.random.key(2), flat)
+
+    def encode(x):
+        out, _ = enc.apply(variables, x.reshape(b * t, 64, 64, 1),
+                           train=True, mutable=["batch_stats"])
+        return out.reshape(b, t, -1)
+
+    feats = encode(frames)
+    re_encoded = encode(frames[perm_b])
+    np.testing.assert_allclose(np.asarray(re_encoded),
+                               np.asarray(feats[perm_b]),
+                               rtol=2e-5, atol=2e-5)
+
+
 # ------------------------------- S2VAE ------------------------------------
 
 @pytest.mark.slow
