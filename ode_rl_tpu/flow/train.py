@@ -83,7 +83,8 @@ def make_flow_train_step(model, lr: float = 1e-4, loss_norm: str = "l1",
 def train_flownet(model, steps: int = 100, batch: int = 8,
                   lr: float = 1e-4, seed: int = 0,
                   pair_input: bool = True, single_scale: bool = False,
-                  data_root=None, validate: bool = False) -> Dict:
+                  data_root=None, validate: bool = False,
+                  init_params: Dict = None) -> Dict:
     """Flow training run; returns final metrics. ``pair_input=False`` for
     FlowNetC (two-image signature).
 
@@ -109,6 +110,10 @@ def train_flownet(model, steps: int = 100, batch: int = 8,
     init_fn, step_fn = make_flow_train_step(model, lr=lr,
                                             single_scale=single_scale)
     state = init_fn(jax.random.key(1), mk_inputs(img1, img2))
+    if init_params is not None:
+        # Warm start (see graft_params): same tree structure ⇒ the fresh
+        # Adam state (zeros of the param shapes) is already correct.
+        state["params"] = init_params
 
     metrics = {}
     for _ in range(steps):
@@ -137,3 +142,51 @@ def save_flownet_params(state: Dict, path) -> None:
     p = pathlib.Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_bytes(serialization.to_bytes(state["params"]))
+
+
+def load_flownet_params(path) -> Dict:
+    """Inverse of :func:`save_flownet_params` (msgpack → pytree)."""
+    import pathlib
+
+    from flax import serialization
+
+    return serialization.msgpack_restore(pathlib.Path(path).read_bytes())
+
+
+def graft_params(dst: Dict, src: Dict) -> Tuple[Dict, int, int]:
+    """Copy leaves from ``src`` into ``dst`` wherever the path exists in
+    both and the shapes agree; everything else keeps the ``dst`` value.
+
+    This is the staged-training warm start of the reference: FlowNet2
+    (flownet2-pytorch/main.py --resume / the paper's schedule) is trained
+    by initializing each sub-network from its separately-trained
+    checkpoint before training the stack. Shape mismatches are expected
+    and deliberately skipped — e.g. the standalone FlowNetS sees a
+    6-channel image pair while flownets1 inside the stack sees the
+    12-channel (pair, warped, flow, brightness-error) concatenation, so
+    its conv1 input kernel cannot transfer.
+
+    Returns ``(new_tree, n_grafted, n_skipped)`` where skipped counts
+    shape-mismatched leaves that stayed at their ``dst`` init.
+    """
+    grafted = 0
+    skipped = 0
+
+    def rec(d, s):
+        nonlocal grafted, skipped
+        out = {}
+        for k, v in d.items():
+            if k not in s:
+                out[k] = v
+            elif isinstance(v, dict) and isinstance(s[k], dict):
+                out[k] = rec(v, s[k])
+            elif (hasattr(v, "shape") and hasattr(s[k], "shape")
+                  and tuple(v.shape) == tuple(s[k].shape)):
+                out[k] = jnp.asarray(s[k], dtype=v.dtype)
+                grafted += 1
+            else:
+                out[k] = v
+                skipped += 1
+        return out
+
+    return rec(dst, src), grafted, skipped

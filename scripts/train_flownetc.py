@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--report", default=None)
     ap.add_argument("--val_pairs", type=int, default=64)
+    ap.add_argument("--warm_start", action="store_true",
+                    help="(--net 2 only) graft the separately-trained "
+                         "FlowNetC/FlowNetS checkpoints into the stack "
+                         "before training — the reference's staged "
+                         "schedule (flownet2-pytorch/main.py --resume).")
     args = ap.parse_args()
     tag = {"C": "flownetc", "S": "flownets", "2": "flownet2"}[args.net]
     if args.out is None:
@@ -85,10 +90,33 @@ def main() -> None:
                             single_scale=single_scale)
     print(f"random-init FlowNet{args.net} val EPE: {rand_epe:.4f}")
 
+    init_params = None
+    graft_info = None
+    if args.warm_start:
+        assert args.net == "2", "--warm_start is the FlowNet2 staging path"
+        from ode_rl_tpu.flow.train import graft_params, load_flownet_params
+        donor_c = load_flownet_params("logs/flow/flownetc.msgpack")["params"]
+        donor_s = load_flownet_params("logs/flow/flownets.msgpack")["params"]
+        p = rand_params["params"]
+        css = dict(p["css"])
+        cs = dict(css["flownetcs"])
+        cs["flownetc"], g_c, s_c = graft_params(cs["flownetc"], donor_c)
+        cs["flownets1"], g_s1, s_s1 = graft_params(cs["flownets1"], donor_s)
+        css["flownetcs"] = cs
+        css["flownets2"], g_s2, s_s2 = graft_params(css["flownets2"], donor_s)
+        init_params = {"params": {**p, "css": css}}
+        graft_info = {"flownetc": [g_c, s_c], "flownets1": [g_s1, s_s1],
+                      "flownets2": [g_s2, s_s2]}
+        warm_epe = validate_epe(net, init_params, val(),
+                                pair_input=pair_input,
+                                single_scale=single_scale)
+        graft_info["val_epe_warm_start"] = warm_epe
+        print(f"warm-start grafts (copied, shape-skipped): {graft_info}")
+
     t0 = time.time()
     out = train_flownet(net, steps=args.steps, batch=args.batch,
                         lr=args.lr, pair_input=pair_input,
-                        single_scale=single_scale)
+                        single_scale=single_scale, init_params=init_params)
     train_s = time.time() - t0
     trained_epe = validate_epe(net, out["state"]["params"], val(),
                                pair_input=pair_input,
@@ -109,6 +137,8 @@ def main() -> None:
         "val_pairs": args.val_pairs, "val_pairs_evaluated": n_eval_pairs,
         "params_path": str(args.out),
     }
+    if graft_info is not None:
+        report["warm_start"] = graft_info
     rp = pathlib.Path(args.report)
     rp.parent.mkdir(parents=True, exist_ok=True)
     rp.write_text(json.dumps(report, indent=2) + "\n")

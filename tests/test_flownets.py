@@ -118,3 +118,26 @@ def test_rearrange_seq_shapes():
 def test_frames_to_images():
     v = jnp.zeros((2, 3, 8, 8, 1))
     assert frames_to_images(v).shape == (6, 8, 8, 1)
+
+
+def test_graft_params_copies_matching_and_skips_mismatched():
+    """Warm-start graft (the reference's staged FlowNet2 schedule):
+    leaves with matching path+shape transfer, shape-mismatched leaves
+    (e.g. the stack's 12-channel conv1 vs the standalone 6-channel one)
+    keep their destination init, and paths absent from the donor are
+    untouched."""
+    from ode_rl_tpu.flow.train import graft_params
+
+    dst = {"conv1": {"kernel": jnp.zeros((3, 3, 12, 8)),
+                     "bias": jnp.zeros((8,))},
+           "conv2": {"kernel": jnp.zeros((3, 3, 8, 8))},
+           "head": {"kernel": jnp.zeros((8, 2))}}
+    src = {"conv1": {"kernel": np.ones((3, 3, 6, 8)),   # mismatch → skip
+                     "bias": np.ones((8,))},            # match → copy
+           "conv2": {"kernel": np.ones((3, 3, 8, 8))}}  # match → copy
+    out, grafted, skipped = graft_params(dst, src)
+    assert (grafted, skipped) == (2, 1)
+    assert np.all(np.asarray(out["conv1"]["kernel"]) == 0)
+    assert np.all(np.asarray(out["conv1"]["bias"]) == 1)
+    assert np.all(np.asarray(out["conv2"]["kernel"]) == 1)
+    assert np.all(np.asarray(out["head"]["kernel"]) == 0)
