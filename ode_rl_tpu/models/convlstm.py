@@ -26,25 +26,63 @@ import jax.numpy as jnp
 
 
 class ConvLSTMCell(nn.Module):
-    """One ConvLSTM step: fused 4-gate conv + GroupNorm (ConvRNN.py:70+)."""
+    """One ConvLSTM step: fused 4-gate conv + GroupNorm (ConvRNN.py:70+).
+
+    The gate conv over ``concat([x, h])`` is linear in its input
+    channels, so the scan driver hoists the x-side conv of ALL timesteps
+    into one batched (B·T) conv before the scan (``project_x``) and runs
+    only the hidden-side conv per step (``step_fused``) — the same
+    split-kernel trick as nn/convgru.py; the GroupNorm applies to the
+    conv OUTPUT so it is unaffected by the input split. Param tree is
+    unchanged (same ``gates``/``norm`` paths)."""
 
     num_features: int
     filter_size: int = 5
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        from ode_rl_tpu.nn.convgru import _ConvParams
+
+        self.gates = _ConvParams(4 * self.num_features, self.filter_size,
+                                 self.param_dtype)
+        self.norm = nn.GroupNorm(
+            num_groups=max(4 * self.num_features // 32, 1),
+            dtype=self.dtype)
+
     def __call__(self, carry, x: Optional[jnp.ndarray]):
+        from ode_rl_tpu.nn.convgru import _conv_same
+
         h, c = carry
         if x is None:
             x = jnp.zeros(h.shape[:-1] + (self.num_features,), h.dtype)
-        gates = nn.Conv(4 * self.num_features,
-                        (self.filter_size, self.filter_size), padding="SAME",
-                        dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="gates")(jnp.concatenate([x, h], axis=-1))
-        gates = nn.GroupNorm(
-            num_groups=max(4 * self.num_features // 32, 1),
-            dtype=self.dtype, name="norm")(gates)
+        gk, gb = self.gates(x.shape[-1] + h.shape[-1])
+        raw = _conv_same(jnp.concatenate([x, h], axis=-1), gk, gb,
+                         self.dtype)
+        return self._finish(h, c, raw)
+
+    def project_x(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x-side half of the gate conv, bias folded in (N, H, W, 4F)."""
+        from ode_rl_tpu.nn.convgru import _conv_same
+
+        gk, gb = self.gates(x.shape[-1] + self.num_features)
+        return _conv_same(x, gk[:, :, :x.shape[-1]], gb, self.dtype)
+
+    def project_zero(self) -> jnp.ndarray:
+        """Free-run projection: conv of zeros is just the bias."""
+        _, gb = self.gates(2 * self.num_features)
+        return jnp.asarray(gb, self.dtype).reshape(1, 1, 1, -1)
+
+    def step_fused(self, carry, gx: jnp.ndarray, x_ch: int):
+        from ode_rl_tpu.nn.convgru import _conv_same
+
+        h, c = carry
+        gk, _ = self.gates(x_ch + self.num_features)
+        raw = gx + _conv_same(h, gk[:, :, x_ch:], None, self.dtype)
+        return self._finish(h, c, raw)
+
+    def _finish(self, h, c, raw):
+        gates = self.norm(raw)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -53,8 +91,26 @@ class ConvLSTMCell(nn.Module):
         return (h_new, c_new), h_new
 
 
-def _scan_cell(cell, carry, xs, length):
+def _scan_cell(cell, carry, xs, length, fused: bool = True):
     """Scan a cell over time; xs may be None (free-run)."""
+    if fused:
+        if xs is None:
+            gx = cell.project_zero()
+            x_ch = cell.num_features
+            scan = nn.scan(
+                lambda mod, cy, _: mod.step_fused(cy, gx, x_ch),
+                variable_broadcast="params", split_rngs={"params": False},
+                out_axes=1, length=length)
+            return scan(cell, carry, None)
+        b, t = xs.shape[:2]
+        x_ch = xs.shape[-1]
+        gx = cell.project_x(xs.reshape((b * t,) + xs.shape[2:]))
+        gx = gx.reshape((b, t) + gx.shape[1:])
+        scan = nn.scan(
+            lambda mod, cy, g: mod.step_fused(cy, g, x_ch),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1)
+        return scan(cell, carry, gx)
     scan = nn.scan(
         lambda mod, c, x: mod(c, x),
         variable_broadcast="params", split_rngs={"params": False},
@@ -68,9 +124,15 @@ DECODER_DECONVS = [(96, 4, 2), (96, 4, 2)]   # between stages (upsample)
 
 
 class ConvLSTMED(nn.Module):
-    """Encoder–forecaster with the reference's stage plan."""
+    """Encoder–forecaster with the reference's stage plan.
+
+    ``encoder_stages``/``decoder_deconvs`` default to the reference plan
+    (ENCODER_STAGES/DECODER_DECONVS); smaller plans are used by the
+    multi-chip dryrun to keep its compile time bounded."""
 
     in_channels: int = 1
+    encoder_stages: tuple = tuple(ENCODER_STAGES)
+    decoder_deconvs: tuple = tuple(DECODER_DECONVS)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -85,7 +147,7 @@ class ConvLSTMED(nn.Module):
         # ---- encoder: per stage conv (b·t) then ConvLSTM scan ---------
         x = inputs
         states = []
-        for si, ((f_out, k, s), feats) in enumerate(ENCODER_STAGES):
+        for si, ((f_out, k, s), feats) in enumerate(self.encoder_stages):
             bt = x.shape[0] * x.shape[1]
             flat = x.reshape((bt,) + x.shape[2:])
             flat = lrelu(nn.Conv(f_out, (k, k), strides=(s, s), padding=1,
@@ -106,15 +168,15 @@ class ConvLSTMED(nn.Module):
         states = states[::-1]
         y = None
         for si, (carry, feats) in enumerate(
-                zip(states, [st[1] for st in ENCODER_STAGES][::-1])):
+                zip(states, [st[1] for st in self.encoder_stages][::-1])):
             cell = ConvLSTMCell(num_features=feats, dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name=f"dec_cell_{si}")
             _, hs = _scan_cell(cell, carry, y, n_out)
             bt = hs.shape[0] * hs.shape[1]
             flat = hs.reshape((bt,) + hs.shape[2:])
-            if si < len(DECODER_DECONVS):
-                f_out, k, s = DECODER_DECONVS[si]
+            if si < len(self.decoder_deconvs):
+                f_out, k, s = self.decoder_deconvs[si]
                 flat = lrelu(nn.ConvTranspose(
                     f_out, (k, k), strides=(s, s), padding="SAME",
                     dtype=self.dtype, param_dtype=self.param_dtype,

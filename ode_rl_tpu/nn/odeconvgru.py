@@ -33,29 +33,40 @@ from ode_rl_tpu.nn.convgru import ConvGRUCell
 
 class _EulerGRUStep(nn.Module):
     """One backward step: explicit Euler on the dynamics field, then a
-    ConvGRU fuse with the encoded observation."""
+    ConvGRU fuse with the encoded observation.
+
+    The observation-side gate convolutions don't depend on the running
+    latent, so the encoder hoists them for ALL frames into one batched
+    conv (``project``) and the scan body consumes the precomputed
+    projections via the cell's ``step_fused`` — see nn/convgru.py."""
 
     ch: int
+    x_ch: int                    # encoded-observation channels
     ode_n_layers: int
     ode_n_units: int
     kernel_size: int
     dtype: jnp.dtype
     param_dtype: jnp.dtype
 
-    @nn.compact
-    def __call__(self, prev, inp):
-        x_i, dt_i, m_i = inp
-        x_i = x_i.astype(prev.dtype)
-        dt_i = dt_i.astype(prev.dtype)  # keep the scan carry in compute dtype
-        ode_func = ConvNet(
-            out_ch=prev.shape[-1], n_layers=self.ode_n_layers,
+    def setup(self):
+        self.ode_func = ConvNet(
+            out_ch=self.ch, n_layers=self.ode_n_layers,
             n_units=self.ode_n_units, activation="relu", final_tanh=False,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="ode_func")
-        cell = ConvGRUCell(
+            dtype=self.dtype, param_dtype=self.param_dtype)
+        self.cgru_cell = ConvGRUCell(
             hidden_dim=self.ch, kernel_size=self.kernel_size,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="cgru_cell")
-        yi_ode = prev + ode_func(prev) * dt_i
-        yi = cell(yi_ode, x_i, m_i)
+            dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def project(self, xs_flat):
+        return self.cgru_cell.project_x(xs_flat)
+
+    def __call__(self, prev, inp):
+        gx_i, cx_i, dt_i, m_i = inp
+        dt_i = dt_i.astype(prev.dtype)  # keep the scan carry in compute dtype
+        yi_ode = prev + self.ode_func(prev) * dt_i
+        yi = self.cgru_cell.step_fused(
+            yi_ode, gx_i.astype(prev.dtype), cx_i.astype(prev.dtype),
+            self.x_ch, m_i)
         return yi, yi
 
 
@@ -100,11 +111,23 @@ class ODEConvGRUEncoder(nn.Module):
             out_axes=0,
         )
         step = _EulerGRUStep(
-            ch=self.ch, ode_n_layers=self.ode_n_layers,
+            ch=self.ch, x_ch=c, ode_n_layers=self.ode_n_layers,
             ode_n_units=self.ode_n_units, kernel_size=self.kernel_size,
             dtype=self.dtype, param_dtype=self.param_dtype, name="step")
         h0 = jnp.zeros((b, h, w, c), self.dtype)
-        last_yi, latent_ys = scan(step, h0, (xs_rev, dts, mask_rev))
+        # Hoisted observation projections: one batched conv over all T
+        # frames instead of T small convs inside the sequential scan.
+        # Project from the (B, T) layout with the BATCH dim leading:
+        # merging (T·B) with T leading interleaves the 'data'-sharded
+        # batch across shards, and XLA:SPMD miscompiles the conv
+        # GRADIENT's halo exchange for that layout (forward exact, grads
+        # off by orders of magnitude — minimal repro pinned in
+        # tests/test_mesh.py::test_hoisted_conv_grad_sharding_layout).
+        gx, cx = step.project(xs.reshape((b * t, h, w, c)))
+        to_rev_tb = lambda v: jnp.moveaxis(
+            v.reshape((b, t) + v.shape[1:])[:, ::-1], 1, 0)
+        last_yi, latent_ys = scan(
+            step, h0, (to_rev_tb(gx), to_rev_tb(cx), dts, mask_rev))
         latent_ys = jnp.moveaxis(latent_ys, 0, 1)            # (B, T, ...)
 
         # (mu, std) head: 1×1 conv → relu → 1×1 conv → 2·out_ch.

@@ -79,8 +79,45 @@ class FrameEncoder(nn.Module):
         return x
 
 
+class _FusedGRUParams(nn.Module):
+    """Declares the exact param tree of ``nn.GRUCell`` (ir/iz/in Dense
+    with bias, hr/hz without, hn with) without computing — the fused
+    scan in :class:`_GRU` consumes the kernels directly. flax derives
+    param RNGs from the module path, so with the same path/names the
+    initial values are bit-identical to ``nn.GRUCell(name="cell")``."""
+
+    hidden: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, h0: jnp.ndarray):
+        from flax.linen.recurrent import DenseParams
+
+        mk = lambda name, use_bias, init, ref: DenseParams(
+            features=self.hidden, use_bias=use_bias,
+            param_dtype=self.param_dtype, kernel_init=init,
+            bias_init=nn.initializers.zeros_init(), name=name)(ref)
+        ki = nn.linear.default_kernel_init
+        kh = nn.initializers.orthogonal()
+        return (
+            [mk(n, True, ki, xs) for n in ("ir", "iz", "in")],
+            [mk("hr", False, kh, h0), mk("hz", False, kh, h0),
+             mk("hn", True, kh, h0)],
+        )
+
+
 class _GRU(nn.Module):
-    """Unidirectional GRU over (B, T, F) returning (outs, last_hidden)."""
+    """Unidirectional GRU over (B, T, F) returning (outs, last_hidden).
+
+    Math and param tree are exactly ``nn.scan`` of ``nn.GRUCell`` (the
+    reference's torch ``nn.GRU``, S3VAE_ED.py:104-131), but restructured
+    the way cuDNN RNNs are: the input projections of ALL timesteps run
+    as one (B·T, F)×(F, 3H) matmul on the MXU before the scan, and only
+    the (B, H)×(H, 3H) hidden matmul + gate pointwise math stays inside
+    the sequential loop. On TPU the scan body is latency-bound (small
+    per-step matmuls), so halving its matmul count and tripling the
+    in-scan matmul width is a direct wall-clock win (measured on the
+    S3VAE family bench)."""
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
@@ -88,17 +125,38 @@ class _GRU(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
+        from flax.linen.dtypes import promote_dtype
+
         b = xs.shape[0]
-        cell = nn.GRUCell(features=self.hidden, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="cell")
-        scan = nn.scan(
-            lambda c, h, x: c(h, x),
-            variable_broadcast="params", split_rngs={"params": False},
-            in_axes=1, out_axes=1)
         if h0 is None:
             h0 = jnp.zeros((b, self.hidden), self.dtype)
-        h_last, outs = scan(cell, h0, xs)
-        return outs, h_last
+        (i_params, h_params) = _FusedGRUParams(
+            hidden=self.hidden, param_dtype=self.param_dtype,
+            name="cell")(xs, h0)
+        w_i = jnp.concatenate([k for k, _ in i_params], axis=-1)
+        b_i = jnp.concatenate([bb for _, bb in i_params], axis=-1)
+        w_h = jnp.concatenate([k for k, _ in h_params], axis=-1)
+        b_hn = h_params[2][1]
+        xs, h0, w_i, b_i, w_h, b_hn = promote_dtype(
+            xs, h0, w_i, b_i, w_h, b_hn, dtype=self.dtype)
+
+        # Hoisted input projection: one big matmul over all timesteps.
+        x_proj = xs @ w_i + b_i                     # (B, T, 3H)
+        h_bias = jnp.concatenate(
+            [jnp.zeros((2 * self.hidden,), b_hn.dtype), b_hn])
+
+        def step(h, xp):
+            hh = h @ w_h + h_bias                   # (B, 3H)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        h_last, outs = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+        return jnp.swapaxes(outs, 0, 1), h_last
 
 
 class GRUEncoder(nn.Module):

@@ -32,8 +32,37 @@ import jax.numpy as jnp
 from ode_rl_tpu.sprite.nets import DCGANDecoder, DCGANEncoder
 
 
+class _FusedLSTMParams(nn.Module):
+    """Declares the exact param tree of ``nn.OptimizedLSTMCell`` (i-side
+    i{i,f,g,o} Dense without bias, h-side h{i,f,g,o} with) without
+    computing — same path/names ⇒ bit-identical init and checkpoint
+    compatibility (see nn/s3vae_nets._FusedGRUParams)."""
+
+    hidden: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, h0: jnp.ndarray):
+        from flax.linen.recurrent import DenseParams
+
+        mk = lambda name, use_bias, init, ref: DenseParams(
+            features=self.hidden, use_bias=use_bias,
+            param_dtype=self.param_dtype, kernel_init=init,
+            bias_init=nn.initializers.zeros_init(), name=name)(ref)
+        ki = nn.linear.default_kernel_init
+        kh = nn.initializers.orthogonal()
+        return ([mk(f"i{c}", False, ki, xs) for c in "ifgo"],
+                [mk(f"h{c}", True, kh, h0) for c in "ifgo"])
+
+
 class _LSTM(nn.Module):
-    """Unidirectional LSTM over (B, T, F) → outputs (B, T, H)."""
+    """Unidirectional LSTM over (B, T, F) → outputs (B, T, H).
+
+    Math and param tree are exactly ``nn.scan`` of
+    ``nn.OptimizedLSTMCell``, restructured cuDNN-style: the input
+    projections of ALL timesteps run as one (B·T, F)×(F, 4H) matmul
+    before the scan; only the (B, H)×(H, 4H) hidden matmul + gate math
+    stays in the sequential loop (pinned in tests/test_fast_rnn.py)."""
 
     hidden: int
     reverse: bool = False
@@ -42,18 +71,41 @@ class _LSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs):
+        from flax.linen.dtypes import promote_dtype
+
         b = xs.shape[0]
-        cell = nn.OptimizedLSTMCell(features=self.hidden, dtype=self.dtype,
-                                    param_dtype=self.param_dtype,
-                                    name="cell")
-        scan = nn.scan(lambda c, carry, x: c(carry, x),
-                       variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=1, out_axes=1,
-                       reverse=self.reverse)
-        carry0 = cell.initialize_carry(jax.random.key(0),
-                                       (b, xs.shape[-1]))
-        _, outs = scan(cell, carry0, xs)
-        return outs
+        h0 = jnp.zeros((b, self.hidden), self.dtype)
+        i_params, h_params = _FusedLSTMParams(
+            hidden=self.hidden, param_dtype=self.param_dtype,
+            name="cell")(xs, h0)
+        w_i = jnp.concatenate([k for k, _ in i_params], axis=-1)
+        w_h = jnp.concatenate([k for k, _ in h_params], axis=-1)
+        b_h = jnp.concatenate([bb for _, bb in h_params], axis=-1)
+        xs, h0, w_i, w_h, b_h = promote_dtype(
+            xs, h0, w_i, w_h, b_h, dtype=self.dtype)
+
+        x_proj = xs @ w_i                              # (B, T, 4H)
+
+        def step(carry, xp):
+            c, h = carry
+            hh = h @ w_h + b_h
+            hi, hf, hg, ho = jnp.split(hh, 4, axis=-1)
+            xi, xf, xg, xo = jnp.split(xp, 4, axis=-1)
+            i = jax.nn.sigmoid(hi + xi)
+            f = jax.nn.sigmoid(hf + xf)
+            g = jnp.tanh(hg + xg)
+            o = jax.nn.sigmoid(ho + xo)
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            return (c_new, h_new), h_new
+
+        # reverse=True consumes xs back-to-front and writes outputs
+        # back into their original positions — same time alignment as
+        # nn.scan(reverse=True) over the cell.
+        _, outs = jax.lax.scan(step, (h0, h0),
+                               jnp.swapaxes(x_proj, 0, 1),
+                               reverse=self.reverse)
+        return jnp.swapaxes(outs, 0, 1)
 
 
 class DisentangledVAE(nn.Module):

@@ -79,8 +79,21 @@ class RSSM(nn.Module):
                            for i in range(self.layers_input)]
         self._img_out_layers = [dense(self.hidden, f"imo{i}")
                                 for i in range(self.layers_output)]
-        self._obs_layers = [dense(self.hidden, f"obi{i}")
-                            for i in range(self.layers_output)]
+        # First posterior layer is declared as raw Dense params (same
+        # "obi0" path/names ⇒ same param tree and checkpoints) so
+        # observe() can hoist its embed-side columns out of the scan:
+        # concat([deter, embed]) @ K == deter @ K[:D] + embed @ K[D:],
+        # and the embed half of ALL timesteps is one big (B·T, E)×(E, H)
+        # matmul on the MXU instead of T sequential ones. The embed
+        # projection is the single largest matmul in the posterior scan
+        # body (E > deter in every shipped config).
+        from flax.linen.recurrent import DenseParams
+
+        self._obs_p0 = DenseParams(features=self.hidden,
+                                   param_dtype=self.param_dtype,
+                                   name="obi0")
+        self._obs_layers_rest = [dense(self.hidden, f"obi{i}")
+                                 for i in range(1, self.layers_output)]
         stats_width = (self.stoch * self.discrete if self.discrete
                        else 2 * self.stoch)
         self._ims_stat = dense(stats_width, "ims")
@@ -165,16 +178,45 @@ class RSSM(nn.Module):
         stoch = self._sample(stats, key, sample)
         return {"stoch": stoch, "deter": deter, **stats}
 
+    def _obs_trunk(self, pre: jnp.ndarray) -> jnp.ndarray:
+        """Posterior trunk given the first layer's preactivation."""
+        act = _act(self.act)
+        x = act(pre)
+        for layer in self._obs_layers_rest:
+            x = act(layer(x))
+        return x
+
+    def _obs_first(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Full (unsplit) first-posterior-layer preactivation — exactly
+        ``nn.Dense(name='obi0')``."""
+        from flax.linen.dtypes import promote_dtype
+
+        k, b = self._obs_p0(x)
+        x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
+        return x @ k + b
+
     def obs_step(self, prev_state: State, embed: jnp.ndarray, key,
                  sample: bool = True,
                  action: jnp.ndarray = None) -> Tuple[State, State]:
         k1, k2 = jax.random.split(key)
         prior = self.img_step(prev_state, k1, sample, action=action)
-        act = _act(self.act)
         x = (jnp.concatenate([prior["deter"], embed], -1)
              if self.temp_post else embed)
-        for layer in self._obs_layers:
-            x = act(layer(x))
+        x = self._obs_trunk(self._obs_first(x))
+        stats = self._stats(self._obs_stat, x)
+        stoch = self._sample(stats, k2, sample)
+        post = {"stoch": stoch, "deter": prior["deter"], **stats}
+        return post, prior
+
+    def _obs_step_pre(self, prev_state: State, pre: jnp.ndarray,
+                      k_deter: jnp.ndarray, key, sample: bool = True,
+                      action: jnp.ndarray = None) -> Tuple[State, State]:
+        """obs_step given the hoisted embed-side preactivation ``pre``
+        (= embed @ K[D:] + b); only the deter-side matmul runs here."""
+        k1, k2 = jax.random.split(key)
+        prior = self.img_step(prev_state, k1, sample, action=action)
+        x = pre + prior["deter"].astype(pre.dtype) @ k_deter
+        x = self._obs_trunk(x)
         stats = self._stats(self._obs_stat, x)
         stoch = self._sample(stats, k2, sample)
         post = {"stoch": stoch, "deter": prior["deter"], **stats}
@@ -192,6 +234,37 @@ class RSSM(nn.Module):
         if state is None:
             state = self.initial(b)
         keys = jax.random.split(key, t)
+
+        if self.temp_post:
+            # Hoisted posterior input projection (see setup): the
+            # embed-side half of obi0 for ALL timesteps runs as one
+            # batched matmul before the scan; the scan body keeps only
+            # the deter-side (D, H) matmul.
+            from flax.linen.dtypes import promote_dtype
+
+            k0, b0 = self._obs_p0(
+                jnp.zeros((1, self.deter + embed.shape[-1]), embed.dtype))
+            e_p, k_p, b_p = promote_dtype(embed, k0, b0, dtype=self.dtype)
+            pre_t = jnp.moveaxis(e_p @ k_p[self.deter:] + b_p, 1, 0)
+            k_deter = k_p[:self.deter]
+
+            def body_pre(mod, carry, xs):
+                p_t, k_t, a_t = xs
+                post, prior = mod._obs_step_pre(carry, p_t, k_deter, k_t,
+                                                action=a_t)
+                return post, (post, prior)
+
+            scan_p = nn.scan(body_pre, variable_broadcast="params",
+                             split_rngs={"params": False}, in_axes=0,
+                             out_axes=0)
+            actions_t = (None if actions is None
+                         else jnp.moveaxis(actions, 1, 0))
+            _, (post, prior) = scan_p(self, state,
+                                      (pre_t, keys, actions_t))
+            to_bt = lambda v: jnp.moveaxis(v, 0, 1)
+            return (jax.tree_util.tree_map(to_bt, post),
+                    jax.tree_util.tree_map(to_bt, prior))
+
         embed_t = jnp.moveaxis(embed, 1, 0)
 
         if actions is not None:

@@ -106,3 +106,38 @@ def test_sp_sharded_train_step_matches_single_device():
                                float(m_shard["grad_norm"]), rtol=1e-4)
     leaves = jax.tree_util.tree_leaves(new_state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_hoisted_conv_grad_sharding_layout():
+    """XLA:SPMD miscompiles the GRADIENT of a SAME-padding conv whose
+    batch axis merges (T, B) with T leading while H is sharded over a
+    'space' mesh axis — forward is exact, the kernel grad comes out
+    orders of magnitude wrong. The framework's scan-input hoists must
+    therefore always merge (B, T) with the 'data'-sharded batch dim
+    LEADING (nn/odeconvgru.py, nn/convgru.py, models/convlstm.py). This
+    test pins both facts: B-leading is exact, and guards the workaround
+    staying necessary (if the T-leading case ever becomes exact too, the
+    comment in odeconvgru can be simplified)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "space"))
+    B, T, H, W, C, F = 4, 3, 8, 8, 4, 8
+    x = jax.random.normal(jax.random.key(0), (B, T, H, W, C))
+    k = jax.random.normal(jax.random.key(1), (3, 3, C, F))
+
+    def conv(v, kk):
+        return jax.lax.conv_general_dilated(
+            v, kk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def f_b_leading(kk, xx):
+        return jnp.sum(conv(xx.reshape(B * T, H, W, C), kk) ** 2)
+
+    xsh = jax.device_put(x, NamedSharding(mesh, P("data", None, "space")))
+    krep = jax.device_put(k, NamedSharding(mesh, P()))
+    g_un = jax.grad(f_b_leading)(k, x)
+    g_sh = jax.jit(jax.grad(f_b_leading))(krep, xsh)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_un),
+                               rtol=1e-4, atol=1e-4)
