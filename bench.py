@@ -180,8 +180,12 @@ def bench_s3vae() -> None:
     from ode_rl_tpu.train.step import create_train_state, make_train_step
 
     b = 32
+    # bf16 compute (params fp32) — the TPU-native configuration the
+    # flagship bench has always used; the loss terms are computed in
+    # fp32 inside the model (models/s3vae.py loss()) regardless.
     cfg, batch = _mmnist_state("train_mmnist_extrap_s3vae", b,
-                               with_flow=True)
+                               with_flow=True,
+                               overrides={"compute_dtype": "bfloat16"})
     t_in, t_out = cfg.train_in_seq, cfg.train_out_seq
     t_all = t_in + t_out
     model = build_model(cfg)
@@ -194,7 +198,7 @@ def bench_s3vae() -> None:
         new_state, m = train_step(state, batch, sub)
         return (new_state, key, m["loss"])
 
-    _, step_s = _timed(step, (state, jax.random.key(1), 0.0), warmup=10)
+    carry, step_s = _timed(step, (state, jax.random.key(1), 0.0), warmup=10)
 
     enc = (_conv(32, cfg.in_channels, 64, 4) + _conv(16, 64, 128, 4)
            + _conv(8, 128, 256, 4) + _conv(4, 256, 512, 4)
@@ -210,7 +214,8 @@ def bench_s3vae() -> None:
     fwd = b * (t_in * enc + t_all * dec + gru)
     _report("s3vae", step_s, b * t_all, fwd,
             extra={"batch_size": b, "seq_len": t_all,
-                   "encoder_passes": 1})
+                   "encoder_passes": 1, "compute_dtype": "bfloat16",
+                   "loss": float(np.asarray(jax.device_get(carry[2])))})
 
 
 def bench_vidode_gan() -> None:
@@ -229,7 +234,8 @@ def bench_vidode_gan() -> None:
     model = VidODEModel(in_channels=cfg.in_channels,
                         n_downs=cfg.get("n_downs", 2),
                         n_layers=cfg.get("n_layers", 2),
-                        ode_max_steps=128, rtol=1e-3, atol=1e-4)
+                        ode_max_steps=128, rtol=1e-3, atol=1e-4,
+                        dtype=jax.numpy.bfloat16)
     state = create_gan_state(model, Config({"lr": 8e-4, "lr_decay": 0.99}),
                              batch, jax.random.key(0), steps_per_epoch=100)
     gan_step = make_gan_train_step(model, extrap=True, lamb_adv=0.003)
@@ -243,7 +249,8 @@ def bench_vidode_gan() -> None:
         metrics_box["m"] = m
         return (new_state, key, m["g_loss"])
 
-    _, step_s = _timed(step, (state, jax.random.key(1), 0.0), warmup=100)
+    carry, step_s = _timed(step, (state, jax.random.key(1), 0.0),
+                           warmup=100)
     nfe = float(np.asarray(jax.device_get(
         metrics_box["m"].get("nfe", 0.0))))
 
@@ -276,7 +283,8 @@ def bench_vidode_gan() -> None:
     flops = (g_fwd + 3.0 * d_pass) + 3.0 * (g_fwd + d_pass / 2)
     _report("vidode_gan", step_s, frames, flops, train_mult=1.0,
             extra={"batch_size": b, "seq_len": t_in + t_out,
-                   "mean_nfe": nfe,
+                   "mean_nfe": nfe, "compute_dtype": "bfloat16",
+                   "g_loss": float(np.asarray(jax.device_get(carry[2]))),
                    "note": "one step = D update + G update"})
 
 
@@ -289,7 +297,8 @@ def bench_dreamer() -> None:
     from ode_rl_tpu.train.step import create_train_state, make_train_step
 
     b = 64
-    cfg, batch = _mmnist_state("train_mmnist_dreamer", b)
+    cfg, batch = _mmnist_state("train_mmnist_dreamer", b,
+                               overrides={"compute_dtype": "bfloat16"})
     t = cfg.train_in_seq + cfg.train_out_seq
     model = build_model(cfg)
     state = create_train_state(model, cfg, batch, jax.random.key(0))
@@ -301,7 +310,8 @@ def bench_dreamer() -> None:
         new_state, m = train_step(state, batch, sub)
         return (new_state, key, m["loss"])
 
-    _, step_s = _timed(step, (state, jax.random.key(1), 0.0), warmup=10)
+    carry, step_s = _timed(step, (state, jax.random.key(1), 0.0),
+                           warmup=10)
 
     d = cfg.get("cnn_depth", 32)
     # ConvEncoder: 4 VALID stride-2 k4 convs (wm/networks.py).
@@ -326,6 +336,8 @@ def bench_dreamer() -> None:
     fwd = b * t * (enc + rssm + dec)
     _report("dreamer", step_s, b * t, fwd,
             extra={"batch_size": b, "seq_len": t,
+                   "compute_dtype": "bfloat16",
+                   "loss": float(np.asarray(jax.device_get(carry[2]))),
                    "note": "dense RSSM scan-bound; RSSM terms counted"})
 
 
@@ -338,7 +350,8 @@ def bench_convlstm() -> None:
     b = 32
     cfg, batch = _mmnist_state("train_mmnist_convlstm", b)
     t_in, t_out = cfg.train_in_seq, cfg.train_out_seq
-    model = ConvLSTMED(in_channels=cfg.in_channels)
+    model = ConvLSTMED(in_channels=cfg.in_channels,
+                       dtype=jax.numpy.bfloat16)
     state = create_train_state(model, cfg, batch, jax.random.key(0))
     train_step = make_train_step(model, donate=False)
 
@@ -348,7 +361,8 @@ def bench_convlstm() -> None:
         new_state, m = train_step(state, batch, sub)
         return (new_state, key, m["loss"])
 
-    _, step_s = _timed(step, (state, jax.random.key(1), 0.0), warmup=10)
+    carry, step_s = _timed(step, (state, jax.random.key(1), 0.0),
+                           warmup=10)
 
     # models/convlstm.py ENCODER_STAGES: convs (1→16 @32², 64→64 @16²,
     # 96→96 @8²) + CLSTM cells (16→64 @32², 64→96 @16², 96→96 @8²);
@@ -365,7 +379,9 @@ def bench_convlstm() -> None:
                  + _conv(64, 16, 1, 1))
     fwd = b * (t_in * enc_frame + t_out * dec_frame)
     _report("convlstm", step_s, b * (t_in + t_out), fwd,
-            extra={"batch_size": b, "seq_len": t_in + t_out})
+            extra={"batch_size": b, "seq_len": t_in + t_out,
+                   "compute_dtype": "bfloat16",
+                   "loss": float(np.asarray(jax.device_get(carry[2])))})
 
 
 def bench_flownetc() -> None:
@@ -381,7 +397,7 @@ def bench_flownetc() -> None:
 
     b = 64
     bank = jnp.asarray(get_sprite_bank())
-    model = FlowNetC()
+    model = FlowNetC(dtype=jnp.bfloat16)
     img1, img2, flow = synthetic_flow_batch(jax.random.key(0), bank,
                                             batch=b)
     init_fn, step_fn = make_flow_train_step(model)
@@ -394,7 +410,8 @@ def bench_flownetc() -> None:
         new_state, m = step_fn(state, (i1, i2), fl)
         return (new_state, key, m["loss"])
 
-    _, step_s = _timed(step, (state, jax.random.key(2), 0.0), warmup=10)
+    carry, step_s = _timed(step, (state, jax.random.key(2), 0.0),
+                           warmup=10)
 
     # Towers ×2 images; corr = 441 displacements × 256 ch at 8×8.
     tower = (_conv(32, 3, 64, 7) + _conv(16, 64, 128, 5)
@@ -411,7 +428,9 @@ def bench_flownetc() -> None:
               + 2.0 * 16 * 16 * 4 * 386 * 64 + _conv(16, 194, 2, 3))
     fwd = b * (2 * tower + corr + contract + refine)
     _report("flownetc", step_s, b, fwd,
-            extra={"batch_size": b, "unit_note": "frames == image pairs"})
+            extra={"batch_size": b, "unit_note": "frames == image pairs",
+                   "compute_dtype": "bfloat16",
+                   "loss": float(np.asarray(jax.device_get(carry[2])))})
 
 
 FAMILY_BENCHES = {

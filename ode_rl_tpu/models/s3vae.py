@@ -187,12 +187,13 @@ class S3VAEModel(nn.Module):
                 return feats.reshape(b, t_in, -1)
             return feats.reshape((b, t_in) + feats.shape[1:])
 
-        def static_rep(feats):
+        def static_rep(feats_in):
             t_use = t_in if self.k_stat == -1 else min(self.k_stat, t_in)
-            mu, lv = static_head(feats[:, :t_use], train=train)
+            mu, lv = static_head(feats_in[:, :t_use], train=train)
             if use_slots:
-                mu = mu_sa(mu).reshape(b, -1)
-                lv = lv_sa(lv).reshape(b, -1)
+                n = feats_in.shape[0]
+                mu = mu_sa(mu).reshape(n, -1)
+                lv = lv_sa(lv).reshape(n, -1)
             return mu, lv
 
         # ---- three static passes: anchor / shuffled-pos / other-neg ---
@@ -208,9 +209,19 @@ class S3VAEModel(nn.Module):
         # passes (pinned equal in test_vae_models.py).
         other_feats = feats[perm_b]
 
-        mu_zf, lv_zf = static_rep(feats)
-        pos_mu, pos_lv = static_rep(feats[:, perm_t])
-        neg_mu, neg_lv = static_rep(other_feats)
+        # The anchor/positive/negative static passes share static_head's
+        # parameters and are mutually independent, so stack them on the
+        # batch axis and run ONE (3B)-row recurrence instead of three
+        # sequential T-step scans. Every op in the static path (GRU scan,
+        # ConvGRU scan, slot attention, dense/conv heads) is row-wise in
+        # the batch, so this is the identity on the three separate passes
+        # (pinned in test_s3vae_static_batch_fusion_is_exact); the step is
+        # scan-latency-bound (PERF_NOTES.md), so deleting two scans is a
+        # direct wall-clock win where deleting FLOPs was not.
+        mu3, lv3 = static_rep(jnp.concatenate(
+            [feats, feats[:, perm_t], other_feats], axis=0))
+        mu_zf, pos_mu, neg_mu = jnp.split(mu3, 3, axis=0)
+        lv_zf, pos_lv, neg_lv = jnp.split(lv3, 3, axis=0)
 
         to_std = lambda lv: jnp.exp(0.5 * lv)   # the reference's chain
         std_zf = to_std(lv_zf)

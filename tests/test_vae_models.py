@@ -129,6 +129,29 @@ def test_s3vae_scc_negative_reuse_is_exact():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_s3vae_static_batch_fusion_is_exact():
+    """The anchor/positive/negative static passes share parameters and
+    are independent, so models/s3vae.py runs them as ONE pass with the
+    three inputs stacked on the batch axis (one GRU scan instead of
+    three sequential T-step scans). Pins the identity the fusion relies
+    on: every op in the static path is row-wise in the batch."""
+    from ode_rl_tpu.nn.s3vae_nets import GRUEncoder
+
+    enc = GRUEncoder(hidden=32, z_size=16, head_type="static")
+    xs = jax.random.normal(jax.random.key(0), (4, 6, 24))
+    ys = jax.random.normal(jax.random.key(1), (4, 6, 24))
+    zs = jax.random.normal(jax.random.key(2), (4, 6, 24))
+    variables = enc.init(jax.random.key(3), xs)
+    sep = [enc.apply(variables, v) for v in (xs, ys, zs)]
+    mu3, lv3 = enc.apply(variables, jnp.concatenate([xs, ys, zs], axis=0))
+    for (mu_s, lv_s), mu_b, lv_b in zip(
+            sep, jnp.split(mu3, 3, axis=0), jnp.split(lv3, 3, axis=0)):
+        np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_s),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lv_b), np.asarray(lv_s),
+                                   rtol=1e-5, atol=1e-6)
+
+
 # ------------------------------- S2VAE ------------------------------------
 
 @pytest.mark.slow
