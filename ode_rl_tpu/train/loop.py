@@ -393,12 +393,16 @@ def _resurrect_train_config(cfg, saved: Dict):
 def _make_lpips_horizon_fn(cfg):
     """Per-horizon LPIPS for the test metric sweep (the reference computes
     LPIPS alongside MSE/PSNR/SSIM, Vid-ODE/evaluate.py:22-68). Returns a
-    jitted (pred, gt) → (T,) function, or None when disabled.
+    jitted (pred, gt) → (T,) function with a ``.metric_key`` attribute, or
+    None when disabled.
 
     ``eval_lpips: auto`` enables it for the VidODE family; grayscale
     frames are tiled to 3 channels. Without pretrained weights
-    (``lpips_alexnet_npz``) the score is uncalibrated — lpips_distance
-    warns once and the curve is still valid for relative comparison."""
+    (``lpips_alexnet_npz``) the score is uncalibrated — the metric is then
+    EMITTED UNDER THE KEY ``lpips_uncalibrated`` (never plain ``lpips``),
+    so every downstream artifact (per_horizon.json, final_* metrics, logs)
+    carries the calibration status structurally, not by convention
+    (eval_models/lpips.py docstring; VERDICT r4 #10)."""
     mode = cfg.get("eval_lpips", "auto")
     if isinstance(mode, str) and mode.lower() == "auto":
         enabled = cfg.model in ("VidODE",)
@@ -437,7 +441,13 @@ def _make_lpips_horizon_fn(cfg):
     if not calibrated:
         lpips_distance(variables, jnp.zeros((1, 8, 8, 3)),
                        jnp.zeros((1, 8, 8, 3)), calibrated=False)
-    return jax.jit(per_horizon)
+    jitted = jax.jit(per_horizon)
+
+    def fn(pred, gt):
+        return jitted(pred, gt)
+
+    fn.metric_key = "lpips" if calibrated else "lpips_uncalibrated"
+    return fn
 
 
 def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
@@ -513,7 +523,7 @@ def test(cfg, logdir: Optional[pathlib.Path] = None) -> Dict:
         if lpips_fn is not None:
             gt = batch["data_to_predict"] + 0.5
             if pred.shape[:2] == gt.shape[:2]:  # skip full-seq recon models
-                host["lpips"] = jax.device_get(lpips_fn(pred, gt))
+                host[lpips_fn.metric_key] = jax.device_get(lpips_fn(pred, gt))
         all_metrics.append(host)
 
     # Mean over batches → per-horizon curves; report the final horizon

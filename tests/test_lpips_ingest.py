@@ -171,3 +171,28 @@ def test_missing_npz_raises():
     rather than silently falling back to uncalibrated features."""
     with pytest.raises(Exception):
         load_torch_weights(init_lpips(), "/nonexistent/alexnet.npz")
+
+
+def test_uncalibrated_lpips_metric_key_is_flagged(tmp_path):
+    """VERDICT r4 #10: the calibration status must be emitted by the
+    metric code itself — uncalibrated runs report under the key
+    'lpips_uncalibrated', so no artifact can print a plain 'lpips'
+    column without real weights."""
+    from ode_rl_tpu.core.config import Config
+    from ode_rl_tpu.train.loop import _make_lpips_horizon_fn
+
+    fn = _make_lpips_horizon_fn(Config({"model": "VidODE",
+                                        "eval_lpips": "auto"}))
+    assert fn.metric_key == "lpips_uncalibrated"
+
+    alex_state = _synthetic_alexnet_state()
+    lins_state = _synthetic_lins_state()
+    alex_npz, lins_npz = _run_converter(tmp_path, alex_state, lins_state)
+    fn2 = _make_lpips_horizon_fn(Config({
+        "model": "VidODE", "eval_lpips": "auto",
+        "lpips_alexnet_npz": str(alex_npz),
+        "lpips_lins_npz": str(lins_npz)}))
+    assert fn2.metric_key == "lpips"
+    out = np.asarray(fn2(jnp.zeros((2, 3, 64, 64, 1)),
+                         jnp.ones((2, 3, 64, 64, 1))))
+    assert out.shape == (3,) and np.all(np.isfinite(out))
