@@ -89,6 +89,12 @@ def _conv(hw_out, cin, cout, k) -> float:
     return 2.0 * hw_out * hw_out * cout * k * k * cin
 
 
+# Family benches switched from fp32 to bf16 compute in round 4; numbers
+# are not comparable to round-3 fp32 family results (ADVICE r4). The
+# flagship bench has always been bf16.
+_DTYPE_NOTE = "bf16 compute since r4; not comparable to r3 fp32 runs"
+
+
 def _sync(carry):
     """Force REAL completion of everything ``carry`` depends on.
 
@@ -215,6 +221,7 @@ def bench_s3vae() -> None:
     _report("s3vae", step_s, b * t_all, fwd,
             extra={"batch_size": b, "seq_len": t_all,
                    "encoder_passes": 1, "compute_dtype": "bfloat16",
+                   "dtype_note": _DTYPE_NOTE,
                    "loss": float(np.asarray(jax.device_get(carry[2])))})
 
 
@@ -237,8 +244,10 @@ def bench_vidode_gan() -> None:
                         ode_max_steps=128, rtol=1e-3, atol=1e-4,
                         dtype=jax.numpy.bfloat16)
     state = create_gan_state(model, Config({"lr": 8e-4, "lr_decay": 0.99}),
-                             batch, jax.random.key(0), steps_per_epoch=100)
-    gan_step = make_gan_train_step(model, extrap=True, lamb_adv=0.003)
+                             batch, jax.random.key(0), steps_per_epoch=100,
+                             disc_dtype=jax.numpy.bfloat16)
+    gan_step = make_gan_train_step(model, extrap=True, lamb_adv=0.003,
+                                   disc_dtype=jax.numpy.bfloat16)
 
     metrics_box = {}
 
@@ -284,8 +293,11 @@ def bench_vidode_gan() -> None:
     _report("vidode_gan", step_s, frames, flops, train_mult=1.0,
             extra={"batch_size": b, "seq_len": t_in + t_out,
                    "mean_nfe": nfe, "compute_dtype": "bfloat16",
+                   "dtype_note": _DTYPE_NOTE,
                    "g_loss": float(np.asarray(jax.device_get(carry[2]))),
-                   "note": "one step = D update + G update"})
+                   "note": "one step = D update + G update "
+                           "(G and D both bf16 compute since r5; "
+                           "r4 ran D in fp32)"})
 
 
 def bench_dreamer() -> None:
@@ -336,7 +348,7 @@ def bench_dreamer() -> None:
     fwd = b * t * (enc + rssm + dec)
     _report("dreamer", step_s, b * t, fwd,
             extra={"batch_size": b, "seq_len": t,
-                   "compute_dtype": "bfloat16",
+                   "compute_dtype": "bfloat16", "dtype_note": _DTYPE_NOTE,
                    "loss": float(np.asarray(jax.device_get(carry[2]))),
                    "note": "dense RSSM scan-bound; RSSM terms counted"})
 
@@ -380,7 +392,7 @@ def bench_convlstm() -> None:
     fwd = b * (t_in * enc_frame + t_out * dec_frame)
     _report("convlstm", step_s, b * (t_in + t_out), fwd,
             extra={"batch_size": b, "seq_len": t_in + t_out,
-                   "compute_dtype": "bfloat16",
+                   "compute_dtype": "bfloat16", "dtype_note": _DTYPE_NOTE,
                    "loss": float(np.asarray(jax.device_get(carry[2])))})
 
 
@@ -429,7 +441,7 @@ def bench_flownetc() -> None:
     fwd = b * (2 * tower + corr + contract + refine)
     _report("flownetc", step_s, b, fwd,
             extra={"batch_size": b, "unit_note": "frames == image pairs",
-                   "compute_dtype": "bfloat16",
+                   "compute_dtype": "bfloat16", "dtype_note": _DTYPE_NOTE,
                    "loss": float(np.asarray(jax.device_get(carry[2])))})
 
 
@@ -440,6 +452,22 @@ FAMILY_BENCHES = {
     "convlstm": bench_convlstm,
     "flownetc": bench_flownetc,
 }
+
+
+def _best_prior_round_fps():
+    """Best flagship frames/s/chip across prior-round driver records
+    (BENCH_r*.json 'parsed' entries) — the regression-gate baseline."""
+    best, best_round = None, None
+    for p in sorted(pathlib.Path(__file__).parent.glob("BENCH_r*.json")):
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+            v = parsed.get("value")
+            if (parsed.get("metric") == "frames_per_sec_per_chip"
+                    and v and (best is None or v > best)):
+                best, best_round = float(v), p.stem.replace("BENCH_r", "")
+        except Exception:
+            continue
+    return best, best_round
 
 
 def main() -> None:
@@ -515,6 +543,21 @@ def main() -> None:
     step_s = elapsed / n_steps
     flops_step = analytic_flops_per_step(cfg, max(mean_nfe, 0.0))
     mfu = flops_step / step_s / PEAK_FLOPS
+
+    # Regression gate (VERDICT r4 #2): compare against the best
+    # prior-round driver result (BENCH_r*.json) and warn LOUDLY on a >2%
+    # drop — to stderr, so the one-JSON-line stdout contract holds.
+    prior_fps, prior_round = _best_prior_round_fps()
+    regression_pct = None
+    if prior_fps:
+        regression_pct = round(100.0 * (fps_per_chip / prior_fps - 1.0), 2)
+        if fps_per_chip < 0.98 * prior_fps:
+            import sys
+            print(f"WARNING: flagship bench REGRESSION: {fps_per_chip:.0f} "
+                  f"frames/s/chip vs round-{prior_round} best "
+                  f"{prior_fps:.0f} ({regression_pct:+.1f}%) — bisect "
+                  "before shipping (bench.py regression gate)",
+                  file=sys.stderr)
     print(json.dumps({
         "metric": "frames_per_sec_per_chip",
         "value": round(float(fps_per_chip), 2),
@@ -530,6 +573,7 @@ def main() -> None:
         "flops_per_step": round(flops_step),
         "mfu_pct_of_bf16_peak": round(100.0 * mfu, 2),
         "loss": float(np.asarray(metrics_host["loss"])),
+        "vs_best_prior_round_pct": regression_pct,
         "device": str(jax.devices()[0]),
         "baseline_note": "baseline is torch eager on this image's CPU "
                          "(BASELINE.md) — vs_baseline mixes hardware "

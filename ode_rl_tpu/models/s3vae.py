@@ -212,12 +212,17 @@ class S3VAEModel(nn.Module):
         # The anchor/positive/negative static passes share static_head's
         # parameters and are mutually independent, so stack them on the
         # batch axis and run ONE (3B)-row recurrence instead of three
-        # sequential T-step scans. Every op in the static path (GRU scan,
-        # ConvGRU scan, slot attention, dense/conv heads) is row-wise in
-        # the batch, so this is the identity on the three separate passes
-        # (pinned in test_s3vae_static_batch_fusion_is_exact); the step is
-        # scan-latency-bound (PERF_NOTES.md), so deleting two scans is a
-        # direct wall-clock win where deleting FLOPs was not.
+        # sequential T-step scans. Every deterministic op in the static
+        # path (GRU scan, ConvGRU scan, dense/conv heads) is row-wise in
+        # the batch, so the stacked pass computes the same function as
+        # three separate passes — pinned exact for the vector GRUEncoder
+        # path in test_s3vae_static_batch_fusion_is_exact. With
+        # slot_att=True the slot-init noise is one make_rng draw for the
+        # (3B) batch instead of three draws, so the slot path is
+        # equivalent in distribution (per-row iid noise), not bit-equal
+        # to the sequential form. The step is scan-latency-bound
+        # (PERF_NOTES.md), so deleting two scans is a direct wall-clock
+        # win where deleting FLOPs was not.
         mu3, lv3 = static_rep(jnp.concatenate(
             [feats, feats[:, perm_t], other_feats], axis=0))
         mu_zf, pos_mu, neg_mu = jnp.split(mu3, 3, axis=0)

@@ -52,7 +52,8 @@ def make_gan_lr_schedule(cfg, steps_per_epoch: int):
 
 def create_gan_state(gen_model, cfg, sample_batch, rng,
                      steps_per_epoch: int = 0,
-                     extrap: bool = True) -> GANTrainState:
+                     extrap: bool = True,
+                     disc_dtype=jnp.float32) -> GANTrainState:
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     gen_vars = gen_model.init(
         {"params": r1, "sample": r2}, sample_batch, train=True,
@@ -60,8 +61,8 @@ def create_gan_state(gen_model, cfg, sample_batch, rng,
     gen_params = gen_vars["params"]
     gen_model_state = {k: v for k, v in gen_vars.items() if k != "params"}
 
-    d_img = PatchDiscriminator()
-    d_seq = PatchDiscriminator()
+    d_img = PatchDiscriminator(dtype=disc_dtype)
+    d_seq = PatchDiscriminator(dtype=disc_dtype)
     target = sample_batch["data_to_predict"]
     b, t, h, w, c = target.shape
     # The seq discriminator's channel count depends on the rearrangement
@@ -90,12 +91,14 @@ def create_gan_state(gen_model, cfg, sample_batch, rng,
 
 def make_gan_train_step(gen_model, extrap: bool = True,
                         lamb_adv: float = 0.003,
-                        lr_schedule=None) -> Callable:
+                        lr_schedule=None,
+                        disc_dtype=jnp.float32) -> Callable:
     """(state, batch, rng) → (state, metrics); D update then G update in
     one XLA program. ``lamb_adv`` is the adversarial weight (the
-    reference's --lamb_adv default 0.003)."""
-    d_img = PatchDiscriminator()
-    d_seq = PatchDiscriminator()
+    reference's --lamb_adv default 0.003). ``disc_dtype`` sets the
+    discriminators' compute dtype (params stay fp32)."""
+    d_img = PatchDiscriminator(dtype=disc_dtype)
+    d_seq = PatchDiscriminator(dtype=disc_dtype)
     rearrange = rearrange_seq_extrap if extrap else rearrange_seq_interp
 
     def gen_forward(gen_params, state, batch, rng):
