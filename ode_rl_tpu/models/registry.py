@@ -55,6 +55,7 @@ def _build_odeconvgru(cfg):
         ode_remat=cfg.get("ode_remat", True),
         ode_solver=cfg.get("ode_solver", "scan"),
         mem=cfg.get("mem", False),
+        mem_mode=str(cfg.get("mem_mode", "nru")),
         z_sample=cfg.get("z_sample", False),
         z_kl_weight=float(cfg.get("z_kl_weight", 0.0)),
         dtype=_compute_dtype(cfg),
@@ -71,6 +72,15 @@ def _build_vidode(cfg):
         rtol=float(cfg.get("odeint_rtol", 1e-3)),
         atol=float(cfg.get("odeint_atol", 1e-4)),
         ode_max_steps=int(cfg.get("ode_max_steps", 128)),
+        # Slot-attention variant (reference --slot_attention --pos
+        # --num_slots --dim --slot_iters, Vid-ODE/main.py:41-45).
+        slot_attention=bool(cfg.get("slot_attention", False)),
+        num_slots=int(cfg.get("num_slots", 4)),
+        slot_dim=int(cfg.get("slot_dim", 32)),
+        pos=int(cfg.get("pos", 2)),
+        slot_iters=int(cfg.get("slot_iters", 3)),
+        mem=bool(cfg.get("mem", False)),
+        mem_mode=str(cfg.get("mem_mode", "nru")),
         dtype=_compute_dtype(cfg),
     )
 

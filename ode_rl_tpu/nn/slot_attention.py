@@ -39,8 +39,14 @@ class SlotAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, N_inputs, D_features) → slots (B, S, slot_size)."""
+    def __call__(self, x: jnp.ndarray,
+                 init_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B, N_inputs, D_features) → slots (B, S, slot_size).
+
+        ``init_noise`` (B, S, slot_size) overrides the internal 'sample'
+        RNG draw for the slot initialization — callers that process many
+        frames of the same video share one draw across frames so slot
+        identities stay temporally bound (models/vidode.py slot path)."""
         b = x.shape[0]
         d = self.slot_size
         dense = lambda feats, name, bias=True: nn.Dense(
@@ -57,8 +63,10 @@ class SlotAttention(nn.Module):
         slots_log_sigma = self.param(
             "slots_log_sigma", nn.initializers.xavier_uniform(), (1, 1, d),
             self.param_dtype)
-        noise = jax.random.normal(
-            self.make_rng("sample"), (b, self.num_slots, d), self.dtype)
+        noise = (init_noise.astype(self.dtype) if init_noise is not None
+                 else jax.random.normal(
+                     self.make_rng("sample"), (b, self.num_slots, d),
+                     self.dtype))
         slots = slots_mu + jnp.exp(slots_log_sigma) * noise
 
         gru = nn.GRUCell(features=d, dtype=self.dtype,
@@ -136,3 +144,25 @@ class SlotAttentionAutoEncoder(nn.Module):
         if self.broadcast_hw is not None:
             return spatial_broadcast(slots, self.broadcast_hw)
         return slots
+
+
+class SoftPositionEmbed(nn.Module):
+    """Learned linear projection of a 4-channel [y, x, 1−y, 1−x] grid
+    added to NHWC features (reference SoftPositionEmbed,
+    modules/SlotAttention.py:30-51 / Vid-ODE/models/base_conv_gru.py:
+    247-262 — the slot-attention encoder's step-2 positional code)."""
+
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, w = x.shape[-3], x.shape[-2]
+        gy, gx = jnp.meshgrid(jnp.linspace(0.0, 1.0, h),
+                              jnp.linspace(0.0, 1.0, w), indexing="ij")
+        grid = jnp.stack([gy, gx, 1.0 - gy, 1.0 - gx], axis=-1)  # (H, W, 4)
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype,
+                       param_dtype=self.param_dtype,
+                       name="dense")(grid.astype(self.dtype))
+        return x + emb
