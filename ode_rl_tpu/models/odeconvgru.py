@@ -49,6 +49,9 @@ class ODEConvGRUModel(nn.Module):
     # backward cost follows the actual step count, not max_steps.
     ode_solver: str = "scan"
     mem: bool = False
+    # 'nru' = one-pass stepwise; 'nru2' = global pass + stepwise
+    # refinement (reference Vid-ODE/models/ode_func.py:34-67).
+    mem_mode: str = "nru"
     # sample_odecgru variant: z0 ~ N(mu, std) instead of z0 = mu (the
     # reference's z_sample flag gates a dead branch at ODEConvGRU.py:72-79
     # whose TODO reads "reparametrization trick or this might not work";
@@ -128,36 +131,22 @@ class ODEConvGRUModel(nn.Module):
         z0 = z0.astype(jnp.float32)
 
         if self.mem:
-            # Memory mode = stepwise integration: one short adaptive solve
-            # per interval, each bounded to max_steps//8, restarting from
-            # the previous state — the long-horizon rationale of the
-            # reference's memory/nru modes (bound each solve to one
-            # interval instead of one long adaptive solve). The reference's
-            # literal code is degenerate: it hands odeint a SINGLE-element
-            # time grid (DiffEqSolver.py:36, time_steps_to_predict[i:i+1]),
-            # so torchdiffeq returns y0 and `h_next = h_prev + pred`
-            # doubles the state every frame (2^T blowup — training NaNs);
-            # accumulating h_prev + y(t_next) is exponentially unstable the
-            # same way, so the stable stepwise form h_next = y(t_next) is
-            # what runs here. One lax.scan over the output grid — the
-            # per-interval solve traces ONCE, so a 10→190 eval compiles the
-            # same program as 10→10 (the Python-unrolled alternative is a
-            # compile-time bomb at the reference's long eval horizons,
-            # configs.yaml:583-585).
-            t_grid = jnp.concatenate([observed_tp[-1:], tp_to_predict])
-            t_pairs = jnp.stack([t_grid[:-1], t_grid[1:]], axis=1)  # (T, 2)
-
-            def step(h_prev, seg):
-                ys, stats = odeint_aux(
-                    f, h_prev, seg, method=self.method,
-                    rtol=self.rtol, atol=self.atol,
-                    max_steps=max(self.ode_max_steps // 8, 8))
-                h_next = jax.tree_util.tree_map(lambda a: a[-1], ys)
-                return h_next, (h_next, stats.nfe)
-
-            _, (ys_scan, nfes) = jax.lax.scan(step, z0, t_pairs)
+            # Memory modes (ode/memory.py): 'nru' = stepwise integration
+            # (one short bounded solve per interval, restarting from the
+            # previous state), 'nru2' = a global pass first, then the
+            # stepwise pass from the summarized state — the stable forms
+            # of the reference's nru/nru2 (Vid-ODE/models/ode_func.py:
+            # 34-67; the literal code is degenerate — single-element time
+            # grids make odeint return y0, so `h_next = h_prev + pred`
+            # doubles the state every frame; full analysis in
+            # ode/memory.py's docstring).
+            from ode_rl_tpu.ode.memory import odeint_memory
+            ys_scan, mem_stats = odeint_memory(
+                f, z0, observed_tp[-1], tp_to_predict,
+                method=self.method, rtol=self.rtol, atol=self.atol,
+                max_steps=self.ode_max_steps, mode=self.mem_mode)
             sol_y = jnp.moveaxis(ys_scan, 0, 1)  # (B, T, eh, ew, C)
-            stats_metrics = {"nfe": jnp.sum(nfes)}
+            stats_metrics = dict(mem_stats)
         else:
             if self.ode_solver == "fast" and self.method == "dopri5":
                 from ode_rl_tpu.ode.fast import odeint_fast
