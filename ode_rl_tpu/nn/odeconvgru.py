@@ -47,6 +47,7 @@ class _EulerGRUStep(nn.Module):
     kernel_size: int
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    fused: bool = False          # consume hoisted projections (see below)
 
     def setup(self):
         self.ode_func = ConvNet(
@@ -61,12 +62,19 @@ class _EulerGRUStep(nn.Module):
         return self.cgru_cell.project_x(xs_flat)
 
     def __call__(self, prev, inp):
-        gx_i, cx_i, dt_i, m_i = inp
-        dt_i = dt_i.astype(prev.dtype)  # keep the scan carry in compute dtype
+        if self.fused:
+            gx_i, cx_i, dt_i, m_i = inp
+            dt_i = dt_i.astype(prev.dtype)  # keep carry in compute dtype
+            yi_ode = prev + self.ode_func(prev) * dt_i
+            yi = self.cgru_cell.step_fused(
+                yi_ode, gx_i.astype(prev.dtype), cx_i.astype(prev.dtype),
+                self.x_ch, m_i)
+            return yi, yi
+        x_i, dt_i, m_i = inp
+        x_i = x_i.astype(prev.dtype)
+        dt_i = dt_i.astype(prev.dtype)
         yi_ode = prev + self.ode_func(prev) * dt_i
-        yi = self.cgru_cell.step_fused(
-            yi_ode, gx_i.astype(prev.dtype), cx_i.astype(prev.dtype),
-            self.x_ch, m_i)
+        yi = self.cgru_cell(yi_ode, x_i, m_i)
         return yi, yi
 
 
@@ -79,6 +87,17 @@ class ODEConvGRUEncoder(nn.Module):
     ode_n_units: int = 64
     kernel_size: int = 5
     first_dt: float = -0.01       # the reference's ts[-1]+0.01 bootstrap
+    # Hoist the observation-side gate convolutions out of the scan
+    # (cuDNN-RNN style, nn/convgru.py project_x/step_fused). MEASURED
+    # (v5e, flagship bench, round 5): the hoist costs the flagship 4%
+    # (38.0k vs 39.5k frames/s; step 67.3 vs 64.8 ms) — at t_in=10 the
+    # in-scan concat-conv XLA already emits is faster than the split
+    # h-side conv + precomputed-projection adds, so this stays DEFAULT
+    # OFF here (the gru_gates precedent: keep the lever, ship the
+    # measured winner). Free-run decoders keep their win: with no input
+    # at all the x-side conv disappears entirely (convgru_freerun /
+    # models/convlstm.py project paths, test_fast_rnn.py).
+    hoist_projections: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -113,21 +132,28 @@ class ODEConvGRUEncoder(nn.Module):
         step = _EulerGRUStep(
             ch=self.ch, x_ch=c, ode_n_layers=self.ode_n_layers,
             ode_n_units=self.ode_n_units, kernel_size=self.kernel_size,
+            fused=self.hoist_projections,
             dtype=self.dtype, param_dtype=self.param_dtype, name="step")
         h0 = jnp.zeros((b, h, w, c), self.dtype)
-        # Hoisted observation projections: one batched conv over all T
-        # frames instead of T small convs inside the sequential scan.
-        # Project from the (B, T) layout with the BATCH dim leading:
-        # merging (T·B) with T leading interleaves the 'data'-sharded
-        # batch across shards, and XLA:SPMD miscompiles the conv
-        # GRADIENT's halo exchange for that layout (forward exact, grads
-        # off by orders of magnitude — minimal repro pinned in
-        # tests/test_mesh.py::test_hoisted_conv_grad_sharding_layout).
-        gx, cx = step.project(xs.reshape((b * t, h, w, c)))
-        to_rev_tb = lambda v: jnp.moveaxis(
-            v.reshape((b, t) + v.shape[1:])[:, ::-1], 1, 0)
-        last_yi, latent_ys = scan(
-            step, h0, (to_rev_tb(gx), to_rev_tb(cx), dts, mask_rev))
+        if self.hoist_projections:
+            # Hoisted observation projections: one batched conv over all
+            # T frames instead of T small convs inside the sequential
+            # scan. Project from the (B, T) layout with the BATCH dim
+            # leading: merging (T·B) with T leading interleaves the
+            # 'data'-sharded batch across shards, and XLA:SPMD
+            # miscompiles the conv GRADIENT's halo exchange for that
+            # layout (forward exact, grads off by orders of magnitude —
+            # minimal repro pinned in tests/test_mesh.py::
+            # test_hoisted_conv_grad_sharding_layout).
+            gx, cx = step.project(xs.reshape((b * t, h, w, c)))
+            to_rev_tb = lambda v: jnp.moveaxis(
+                v.reshape((b, t) + v.shape[1:])[:, ::-1], 1, 0)
+            last_yi, latent_ys = scan(
+                step, h0, (to_rev_tb(gx), to_rev_tb(cx), dts, mask_rev))
+        else:
+            # Default: plain concat-conv cell inside the scan — measured
+            # faster on the flagship (see hoist_projections docstring).
+            last_yi, latent_ys = scan(step, h0, (xs_rev, dts, mask_rev))
         latent_ys = jnp.moveaxis(latent_ys, 0, 1)            # (B, T, ...)
 
         # (mu, std) head: 1×1 conv → relu → 1×1 conv → 2·out_ch.
