@@ -80,6 +80,35 @@ def make_flow_train_step(model, lr: float = 1e-4, loss_norm: str = "l1",
     return init_fn, step_fn
 
 
+def make_fused_flow_train_step(model, sprite_bank, batch: int,
+                               lr: float = 1e-4, loss_norm: str = "l1",
+                               single_scale: bool = False):
+    """(init_fn, step_fn) where step(state, key) fuses the synthetic-
+    chairs data generation INTO the jitted train step — one XLA program,
+    one host→device dispatch per step (the flagship's
+    make_fused_train_step pattern, train/step.py). Measured motivation
+    (PERF_NOTES r4): the separate datagen dispatch kept ~2.6 ms of
+    on-device generation plus a tunnel round-trip on the critical path
+    of a ~8 ms network step."""
+    _, base_step = make_flow_train_step(model, lr=lr, loss_norm=loss_norm,
+                                        single_scale=single_scale)
+    tx = optax.adam(lr)
+    bank = jnp.asarray(sprite_bank)
+
+    def init_fn(key, sample_inputs):
+        params = model.init(key, *sample_inputs)
+        return {"params": params, "opt": tx.init(params)}
+
+    @jax.jit
+    def step_fn(state, key):
+        k_data, k_next = jax.random.split(key)
+        img1, img2, flow = synthetic_flow_batch(k_data, bank, batch=batch)
+        new_state, metrics = base_step(state, (img1, img2), flow)
+        return new_state, metrics, k_next
+
+    return init_fn, step_fn
+
+
 def train_flownet(model, steps: int = 100, batch: int = 8,
                   lr: float = 1e-4, seed: int = 0,
                   pair_input: bool = True, single_scale: bool = False,
