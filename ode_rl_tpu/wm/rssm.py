@@ -77,8 +77,21 @@ class RSSM(nn.Module):
             f, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         self._in_layers = [dense(self.hidden, f"ini{i}")
                            for i in range(self.layers_input)]
-        self._img_out_layers = [dense(self.hidden, f"imo{i}")
-                                for i in range(self.layers_output)]
+        # First img-out layer declared as raw Dense params (same "imo0"
+        # path/names ⇒ same param tree and checkpoints) so the observe
+        # scan can merge its matmul with the posterior's deter-side
+        # contraction: deter @ [W_imo0 | K_obi0[:D]] is ONE (D, 2H)
+        # matmul per step instead of two (D, H) launches — both consume
+        # the same deter', and per-column reductions make the merge
+        # bit-exact. Mirrors the "obi0" hoist below.
+        from flax.linen.recurrent import DenseParams
+
+        self._img_p0 = (DenseParams(features=self.hidden,
+                                    param_dtype=self.param_dtype,
+                                    name="imo0")
+                        if self.layers_output else None)
+        self._img_out_layers_rest = [dense(self.hidden, f"imo{i}")
+                                     for i in range(1, self.layers_output)]
         # First posterior layer is declared as raw Dense params (same
         # "obi0" path/names ⇒ same param tree and checkpoints) so
         # observe() can hoist its embed-side columns out of the scan:
@@ -151,13 +164,34 @@ class RSSM(nn.Module):
             return stats["mean"] + stats["std"] * noise
         return stats["mean"]
 
+    # -- pre-drawn sampling noise (scan paths) -------------------------
+    # threefry is VPU-serial work; drawing T tiny tensors inside a scan
+    # costs T sequential RNG computations on the latency-critical path.
+    # The draws are distribution-parameter-independent (gumbel-argmax
+    # for categorical, affine for Gaussian), so the scans draw ALL
+    # steps' noise in one batched op outside and the body applies it —
+    # bit-identical: same subkeys, same primitives, and float addition
+    # commutes in `argmax(logits + g)`.
+
+    def _draw_noise(self, key, batch: int) -> jnp.ndarray:
+        if self.discrete:
+            return jax.random.gumbel(
+                key, (batch, self.stoch, self.discrete), self.dtype)
+        return jax.random.normal(key, (batch, self.stoch), self.dtype)
+
+    def _apply_noise(self, stats: State, noise: jnp.ndarray) -> jnp.ndarray:
+        if self.discrete:
+            logit = stats["logit"]
+            idx = jnp.argmax(noise.astype(logit.dtype) + logit, -1)
+            sample = jax.nn.one_hot(idx, self.discrete, dtype=logit.dtype)
+            probs = jax.nn.softmax(logit)
+            return sample + probs - jax.lax.stop_gradient(probs)
+        return stats["mean"] + stats["std"] * noise.astype(stats["mean"].dtype)
+
     # ------------------------------------------------------------------
-    def img_step(self, prev_state: State, key, sample: bool = True,
-                 action: jnp.ndarray = None) -> State:
-        """Prior transition. ``action`` (B, A) optionally conditions the
-        dynamics — the reference RSSM always concatenates prev_action to
-        prev_stoch (dreamerv2/networks.py img_step); the video models
-        here run action-free, so it stays optional."""
+    def _img_deter(self, prev_state: State,
+                   action: jnp.ndarray = None) -> jnp.ndarray:
+        """Prior recurrence up to the new deterministic state."""
         act = _act(self.act)
         prev_stoch = prev_state["stoch"]
         if self.discrete:
@@ -172,8 +206,34 @@ class RSSM(nn.Module):
         for _ in range(self.rec_depth):
             deter = self._cell(x, deter)
             x = deter
-        for layer in self._img_out_layers:
+        return deter
+
+    def _img_first(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Full first-img-out-layer preactivation — exactly
+        ``nn.Dense(name='imo0')``."""
+        from flax.linen.dtypes import promote_dtype
+
+        k, b = self._img_p0(x)
+        x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
+        return x @ k + b
+
+    def _img_trunk(self, pre: jnp.ndarray) -> jnp.ndarray:
+        """Img-out trunk given the first layer's preactivation."""
+        act = _act(self.act)
+        x = act(pre)
+        for layer in self._img_out_layers_rest:
             x = act(layer(x))
+        return x
+
+    def img_step(self, prev_state: State, key, sample: bool = True,
+                 action: jnp.ndarray = None) -> State:
+        """Prior transition. ``action`` (B, A) optionally conditions the
+        dynamics — the reference RSSM always concatenates prev_action to
+        prev_stoch (dreamerv2/networks.py img_step); the video models
+        here run action-free, so it stays optional."""
+        deter = self._img_deter(prev_state, action=action)
+        x = (self._img_trunk(self._img_first(deter))
+             if self.layers_output else deter)
         stats = self._stats(self._ims_stat, x)
         stoch = self._sample(stats, key, sample)
         return {"stoch": stoch, "deter": deter, **stats}
@@ -208,18 +268,37 @@ class RSSM(nn.Module):
         post = {"stoch": stoch, "deter": prior["deter"], **stats}
         return post, prior
 
-    def _obs_step_pre(self, prev_state: State, pre: jnp.ndarray,
-                      k_deter: jnp.ndarray, key, sample: bool = True,
-                      action: jnp.ndarray = None) -> Tuple[State, State]:
-        """obs_step given the hoisted embed-side preactivation ``pre``
-        (= embed @ K[D:] + b); only the deter-side matmul runs here."""
-        k1, k2 = jax.random.split(key)
-        prior = self.img_step(prev_state, k1, sample, action=action)
-        x = pre + prior["deter"].astype(pre.dtype) @ k_deter
-        x = self._obs_trunk(x)
+    def _obs_step_fast(self, prev_state: State, pre: jnp.ndarray,
+                       k_deter: jnp.ndarray, n_prior: jnp.ndarray,
+                       n_post: jnp.ndarray,
+                       action: jnp.ndarray = None) -> Tuple[State, State]:
+        """Scan-body obs step: hoisted embed-side preactivation ``pre``
+        (= embed @ K[D:] + b), pre-drawn sampling noise, and — when
+        ``layers_output == 1`` (every shipped config) — the img-out and
+        posterior deter-side matmuls merged into one (D, 2H)
+        contraction (each output column is an independent reduction, so
+        the merge is bit-exact vs two separate dots)."""
+        deter = self._img_deter(prev_state, action=action)
+        if self.layers_output == 1:
+            from flax.linen.dtypes import promote_dtype
+
+            k_o, b_o = self._img_p0(deter)
+            d_p, k_o, b_o = promote_dtype(deter, k_o, b_o, dtype=self.dtype)
+            both = d_p @ jnp.concatenate(
+                [k_o, k_deter.astype(k_o.dtype)], axis=1)
+            x_img = self._img_trunk(both[..., :self.hidden] + b_o)
+            post_pre = pre + both[..., self.hidden:]
+        else:
+            x_img = (self._img_trunk(self._img_first(deter))
+                     if self.layers_output else deter)
+            post_pre = pre + deter.astype(pre.dtype) @ k_deter
+        prior_stats = self._stats(self._ims_stat, x_img)
+        prior = {"stoch": self._apply_noise(prior_stats, n_prior),
+                 "deter": deter, **prior_stats}
+        x = self._obs_trunk(post_pre)
         stats = self._stats(self._obs_stat, x)
-        stoch = self._sample(stats, k2, sample)
-        post = {"stoch": stoch, "deter": prior["deter"], **stats}
+        post = {"stoch": self._apply_noise(stats, n_post),
+                "deter": deter, **stats}
         return post, prior
 
     # ------------------------------------------------------------------
@@ -239,7 +318,9 @@ class RSSM(nn.Module):
             # Hoisted posterior input projection (see setup): the
             # embed-side half of obi0 for ALL timesteps runs as one
             # batched matmul before the scan; the scan body keeps only
-            # the deter-side (D, H) matmul.
+            # the deter-side (D, H) matmul (merged with imo0 inside
+            # _obs_step_fast). Sampling noise for all T steps is drawn
+            # in one batched op here — see _draw_noise.
             from flax.linen.dtypes import promote_dtype
 
             k0, b0 = self._obs_p0(
@@ -247,11 +328,16 @@ class RSSM(nn.Module):
             e_p, k_p, b_p = promote_dtype(embed, k0, b0, dtype=self.dtype)
             pre_t = jnp.moveaxis(e_p @ k_p[self.deter:] + b_p, 1, 0)
             k_deter = k_p[:self.deter]
+            subkeys = jax.vmap(jax.random.split)(keys)       # (T, 2)
+            n_prior = jax.vmap(
+                lambda k: self._draw_noise(k, b))(subkeys[:, 0])
+            n_post = jax.vmap(
+                lambda k: self._draw_noise(k, b))(subkeys[:, 1])
 
             def body_pre(mod, carry, xs):
-                p_t, k_t, a_t = xs
-                post, prior = mod._obs_step_pre(carry, p_t, k_deter, k_t,
-                                                action=a_t)
+                p_t, np_t, nq_t, a_t = xs
+                post, prior = mod._obs_step_fast(carry, p_t, k_deter,
+                                                 np_t, nq_t, action=a_t)
                 return post, (post, prior)
 
             scan_p = nn.scan(body_pre, variable_broadcast="params",
@@ -260,7 +346,7 @@ class RSSM(nn.Module):
             actions_t = (None if actions is None
                          else jnp.moveaxis(actions, 1, 0))
             _, (post, prior) = scan_p(self, state,
-                                      (pre_t, keys, actions_t))
+                                      (pre_t, n_prior, n_post, actions_t))
             to_bt = lambda v: jnp.moveaxis(v, 0, 1)
             return (jax.tree_util.tree_map(to_bt, post),
                     jax.tree_util.tree_map(to_bt, prior))
@@ -297,16 +383,25 @@ class RSSM(nn.Module):
                 jax.tree_util.tree_map(to_bt, prior))
 
     def imagine(self, n_steps: int, state: State, key) -> State:
-        """Open-loop prior rollout for n_steps from ``state``."""
+        """Open-loop prior rollout for n_steps from ``state``. Sampling
+        noise for all steps is pre-drawn (bit-identical to per-step
+        ``img_step(key_t)`` — same keys, same primitives)."""
         keys = jax.random.split(key, n_steps)
+        b = state["deter"].shape[0]
+        noise = jax.vmap(lambda k: self._draw_noise(k, b))(keys)
 
-        def body(mod, carry, k_t):
-            prior = mod.img_step(carry, k_t)
+        def body(mod, carry, n_t):
+            deter = mod._img_deter(carry)
+            x = (mod._img_trunk(mod._img_first(deter))
+                 if mod.layers_output else deter)
+            stats = mod._stats(mod._ims_stat, x)
+            prior = {"stoch": mod._apply_noise(stats, n_t),
+                     "deter": deter, **stats}
             return prior, prior
 
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=0, out_axes=0)
-        _, prior = scan(self, state, keys)
+        _, prior = scan(self, state, noise)
         return jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, 1), prior)
 
     # ------------------------------------------------------------------

@@ -63,7 +63,7 @@ run dreamer_len50_train 21600 python main.py --configs defaults \
   train_mmnist_dreamer_discrete --id Dreamer_r5_len50 \
   --ckpt_id dreamer_r5_len50 --cnn_depth 48 --dyn_deter 600 \
   --dyn_hidden 600 --train_seq 50 --train_in_seq 25 --train_out_seq 25 \
-  --steps_per_epoch 500 --epochs 300 --ckpt_save_freq 10000 \
+  --steps_per_epoch 500 --epochs 300 --ckpt_save_freq 5000 \
   --loss_log_freq 500
 run dreamer_len50_eval1010 1800 python main.py --configs defaults \
   train_mmnist_dreamer_discrete --phase test --load_model True \

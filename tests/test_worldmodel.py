@@ -39,6 +39,55 @@ def test_rssm_observe_shapes(discrete):
         assert (np.asarray(post["std"]) > 0).all()
 
 
+@pytest.mark.parametrize("discrete", [0, 8])
+def test_rssm_observe_scan_matches_stepwise(discrete):
+    """The observe scan's fast body (hoisted embed projection, merged
+    imo0/obi0-deter contraction, pre-drawn sampling noise) computes the
+    same chain as the public per-step obs_step: same subkeys, same
+    primitives. Tolerance is 1-ulp-level only because XLA may contract
+    ``mean + std*noise`` into an FMA in one program and not the other;
+    stats/deter at step 0 are bit-equal (verified during development)."""
+    rssm = RSSM(stoch=6, deter=16, hidden=16, discrete=discrete)
+    embed = _embed()
+    key = jax.random.key(3)
+    v = rssm.init(jax.random.key(1), embed, jax.random.key(2),
+                  method=rssm.observe)
+    post, prior = rssm.apply(v, embed, key, method=rssm.observe)
+
+    state = rssm.apply(v, embed.shape[0], method=rssm.initial)
+    keys = jax.random.split(key, embed.shape[1])
+    for t in range(embed.shape[1]):
+        p_t, pr_t = rssm.apply(v, state, embed[:, t], keys[t],
+                               method=rssm.obs_step)
+        for k in p_t:
+            np.testing.assert_allclose(
+                np.asarray(p_t[k]), np.asarray(post[k][:, t]),
+                atol=1e-5, rtol=1e-5, err_msg=k)
+            np.testing.assert_allclose(
+                np.asarray(pr_t[k]), np.asarray(prior[k][:, t]),
+                atol=1e-5, rtol=1e-5, err_msg=k)
+        state = p_t
+
+
+def test_rssm_imagine_scan_matches_stepwise():
+    """imagine()'s pre-drawn-noise scan equals per-step img_step."""
+    rssm = RSSM(stoch=6, deter=16, hidden=16, discrete=8)
+    embed = _embed()
+    v = rssm.init(jax.random.key(1), embed, jax.random.key(2),
+                  method=rssm.observe)
+    post, _ = rssm.apply(v, embed, jax.random.key(3), method=rssm.observe)
+    start = {k: v_[:, -1] for k, v_ in post.items()}
+    key = jax.random.key(9)
+    prior = rssm.apply(v, 4, start, key, method=rssm.imagine)
+    state, keys = start, jax.random.split(key, 4)
+    for t in range(4):
+        state = rssm.apply(v, state, keys[t], method=rssm.img_step)
+        for k in state:
+            np.testing.assert_allclose(
+                np.asarray(state[k]), np.asarray(prior[k][:, t]),
+                atol=1e-5, rtol=1e-5, err_msg=k)
+
+
 @pytest.mark.slow
 def test_rssm_imagine_open_loop():
     rssm = RSSM(stoch=6, deter=16, hidden=16)
