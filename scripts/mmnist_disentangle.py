@@ -60,31 +60,45 @@ def train_judge(bank, steps: int, batch: int = 64, n_frames: int = 20):
                         method=judge.loss)["params"]
     opt = tx.init(params)
 
+    # Datagen FUSED into the jitted step (one XLA program, one dispatch
+    # per step — the framework's fused-step pattern): the eager per-step
+    # draw() was ~10 dispatches/step through the remote tunnel and
+    # dominated judge training wall-clock.
     @jax.jit
-    def step(params, opt, v, s, q0, q1):
+    def step(params, opt, key):
+        key, sub = jax.random.split(key)
+        v, s, q0, q1 = draw(sub)
         (loss, m), g = jax.value_and_grad(
             lambda p: judge.apply({"params": p}, v, s, q0, q1,
                                   method=judge.loss), has_aux=True)(params)
         up, opt = tx.update(g, opt, params)
-        return optax.apply_updates(params, up), opt, m
+        return optax.apply_updates(params, up), opt, m, key
 
     m = {}
     for i in range(steps):
-        key, sub = jax.random.split(key)
-        v, s, q0, q1 = draw(sub)
-        params, opt, m = step(params, opt, v, s, q0, q1)
+        params, opt, m, key = step(params, opt, key)
         if i % 250 == 0 or i == steps - 1:
             mm = {k: round(float(x), 4) for k, x in m.items()}
-            print(f"judge step {i}: {mm}")
+            print(f"judge step {i}: {mm}", flush=True)
     final = {k: float(x) for k, x in m.items()}
     return judge, params, final
 
 
+_judge_fwd_cache = {}
+
+
 def judge_accs(judge, jparams, video, sprite, q0, q1):
-    """Per-head accuracy of the judge on ``video`` vs given labels."""
+    """Per-head accuracy of the judge on ``video`` vs given labels.
+    The judge forward is jitted once per process (eager flax apply is
+    one dispatch per op through the remote tunnel — dominated the swap
+    eval wall-clock)."""
+    import jax
     import jax.numpy as jnp
 
-    logits = judge.apply({"params": jparams}, jnp.clip(video, 0.0, 1.0))
+    if "fwd" not in _judge_fwd_cache:
+        _judge_fwd_cache["fwd"] = jax.jit(
+            lambda p, v: judge.apply({"params": p}, jnp.clip(v, 0.0, 1.0)))
+    logits = _judge_fwd_cache["fwd"](jparams, jnp.asarray(video))
     acc = lambda lg, y: float(np.mean(
         np.argmax(np.asarray(lg), -1) == np.asarray(y)))
     return {"sprite": acc(logits["sprite"], sprite),
@@ -287,19 +301,28 @@ def latent_probes(model, cfg, variables, bank, n_train_batches: int = 64,
         tx = optax.adam(3e-3)
         opt = tx.init(params)
 
+        # All probe_steps full-batch updates as ONE lax.scan program
+        # (one dispatch instead of probe_steps tunnel roundtrips), and
+        # the eval forward jitted with it.
         @jax.jit
-        def step(params, opt):
-            def loss_fn(p):
-                logits = probe.apply(p, x_tr_n)
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    logits, y_tr_j).mean()
-            g = jax.grad(loss_fn)(params)
-            up, opt2 = tx.update(g, opt, params)
-            return optax.apply_updates(params, up), opt2
+        def train_and_eval(params, opt):
+            def body(carry, _):
+                params, opt = carry
 
-        for _ in range(probe_steps):
-            params, opt = step(params, opt)
-        pred = np.asarray(jnp.argmax(probe.apply(params, x_te_n), -1))
+                def loss_fn(p):
+                    logits = probe.apply(p, x_tr_n)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y_tr_j).mean()
+
+                g = jax.grad(loss_fn)(params)
+                up, opt2 = tx.update(g, opt, params)
+                return (optax.apply_updates(params, up), opt2), 0.0
+
+            (params, _), _ = jax.lax.scan(body, (params, opt), None,
+                                          length=probe_steps)
+            return jnp.argmax(probe.apply(params, x_te_n), -1)
+
+        pred = np.asarray(train_and_eval(params, opt))
         return float((pred == y_te).mean())
 
     out = {}
@@ -340,7 +363,7 @@ def main():
               "n_sprites": N_SPRITES, "models": {}}
     for tag, ckpt_id in (("full_4term", args.ckpt_full),
                          ("ablation_l123_0", args.ckpt_abl)):
-        print(f"== evaluating {tag} ({ckpt_id})")
+        print(f"== evaluating {tag} ({ckpt_id})", flush=True)
         model, cfg, variables = restore_s3vae(ckpt_id)
         report["models"][tag] = eval_swaps(
             model, cfg, variables, judge, jparams, bank,
@@ -351,7 +374,7 @@ def main():
         report["models"][tag]["loss_weights"] = {
             "l1": float(cfg.get("l1")), "l2": float(cfg.get("l2")),
             "l3": float(cfg.get("l3"))}
-        print(json.dumps(report["models"][tag], indent=2))
+        print(json.dumps(report["models"][tag], indent=2), flush=True)
 
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
