@@ -261,7 +261,7 @@ def latent_probes(model, cfg, variables, bank, n_train_batches: int = 64,
         zt_feat = jnp.concatenate(
             [jnp.mean(zt, axis=1), jnp.std(zt, axis=1)], axis=-1)
         q0, q1 = quadrant_labels(pos[:, :, :n_in])
-        return zf, zt_feat, idx[:, 0], q0[:, 0], q1[:, 0]
+        return zf, zt_feat, idx[:, 0], q0, q1
 
     key = jax.random.key(7)
     feats = {"zf": [], "zt": []}
