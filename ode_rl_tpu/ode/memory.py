@@ -59,7 +59,14 @@ def odeint_memory(
         raise NotImplementedError(f"memory mode {mode!r} (nru|nru2)")
     t_grid = jnp.concatenate([jnp.reshape(t_start, (1,)), tp])
     t_pairs = jnp.stack([t_grid[:-1], t_grid[1:]], axis=1)  # (T, 2)
-    per_interval = max(max_steps // 8, 8)
+    # Each interval gets the FULL step budget: the mode's point is
+    # bounding one interval's adaptive solve separately, not shrinking
+    # the budget 8×. The round-5 convergence run showed why this
+    # matters: the learned field's stiffness grows as the loss drops
+    # (NFE 123→1761 inside 40 steps), a 16-step interval cap then pegs
+    # every solve, and the hardened adjoint (zero grads on diverged
+    # segments) freezes training at the mean-predictor loss.
+    per_interval = max_steps
 
     z_init = z0
     extra_nfe = 0
@@ -67,11 +74,34 @@ def odeint_memory(
         # Pass 1: one global solve over the whole grid (the reference's
         # `memory_pred = odeint(first_point, grid)`, ode_func.py:50-52),
         # summarized as mean displacement from z0 (stable analogue of
-        # the Σ-accumulation, ode_func.py:54-56).
+        # the Σ-accumulation, ode_func.py:54-56). The displacement is a
+        # stop-gradient refinement: pass 1 is the "memory" summary and
+        # training drives the stepwise pass-2 chain — differentiating a
+        # second, possibly step-capped global solve on top of pass 2's
+        # adjoint both doubles backward cost and couples training to
+        # exactly the solve that saturates first under stiffness growth
+        # (the reference's own pass-1 backward is through its degenerate
+        # Σ-accumulation, so there is no faithful gradient to preserve).
         ys1, stats1 = odeint_aux(f, z0, t_grid, method=method,
                                  rtol=rtol, atol=atol, max_steps=max_steps)
-        disp = jax.tree_util.tree_map(
-            lambda traj, z: jnp.mean(traj, axis=0) - z, ys1, z0)
+
+        def _bounded_disp(traj, z):
+            # Trust-region bound: ‖disp‖ ≤ ½‖z0‖ per sample. Without it
+            # the mean-displacement init drifts z_init off the manifold
+            # the field was trained on as training sharpens the
+            # dynamics; the round-5 run showed the failure chain —
+            # pass-2 solves diverge from the shifted state, the decode
+            # sigmoid saturates at the all-zeros prediction
+            # (loss pins at E[x²] ≈ 0.068 on MMNIST) and every gradient
+            # dies. Bounded, the refinement stays a refinement.
+            d = jnp.mean(traj, axis=0) - z
+            axes = tuple(range(1, d.ndim))
+            dn = jnp.sqrt(jnp.sum(d * d, axis=axes, keepdims=True))
+            zn = jnp.sqrt(jnp.sum(z * z, axis=axes, keepdims=True))
+            scale = jnp.minimum(1.0, 0.5 * zn / (dn + 1e-8))
+            return jax.lax.stop_gradient(d * scale)
+
+        disp = jax.tree_util.tree_map(_bounded_disp, ys1, z0)
         z_init = jax.tree_util.tree_map(jnp.add, z0, disp)
         extra_nfe = stats1.nfe
 
