@@ -91,8 +91,8 @@ def generate_moving_mnist_labeled(
     (video, sprite_idx (B, D) int32, positions (B, D, T, 2) int32).
     Sprite identity is the content factor; the position trajectory is
     the motion factor (the generator's two independent sources)."""
-    video, idx, pos = _generate(key, sprite_bank, batch, n_frames,
-                                num_digits)
+    video, idx, pos, _ = _generate(key, sprite_bank, batch, n_frames,
+                                   num_digits)
     return (video, idx.reshape(batch, num_digits),
             pos.reshape(batch, num_digits, n_frames, 2))
 
@@ -129,13 +129,34 @@ def _generate(key, sprite_bank, batch, n_frames, num_digits):
            ).astype(jnp.float32)
     placed = jnp.einsum("pya,pab->pyb", ohy, sprites)
     placed = jnp.einsum("pyb,pxb->pyx", placed, ohx)          # (P, 64, 64)
-    video = jnp.max(                                          # np.maximum
-        placed.reshape(batch, num_digits, n_frames, IMAGE_SIZE, IMAGE_SIZE),
-        axis=1)                                               # compositing
+    per_digit = placed.reshape(batch, num_digits, n_frames,
+                               IMAGE_SIZE, IMAGE_SIZE)
+    video = jnp.max(per_digit, axis=1)                        # compositing
     # Clamp: XLA turns /255 into a reciprocal multiply, which can land an
     # ulp above 1.0 for saturated pixels.
     video = jnp.clip(video[..., None] / 255.0 - 0.5, -0.5, 0.5)
-    return video, idx, pos
+    return video, idx, pos, per_digit
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "n_frames", "num_digits"))
+def generate_moving_mnist_per_digit(
+    key: jax.Array,
+    sprite_bank: jnp.ndarray,
+    batch: int,
+    n_frames: int,
+    num_digits: int = 3,
+):
+    """Per-digit canvases BEFORE max-compositing: returns
+    (per_digit (B, D, T, 64, 64) float32 in [0, 255],
+    sprite_idx (B, D) int32, positions (B, D, T, 2) int32). Used by the
+    piecewise-translation flow generator (flow/train.py), which needs
+    per-pixel digit occupancy to assign each pixel the motion of the
+    digit in front of it."""
+    _, idx, pos, per_digit = _generate(key, sprite_bank, batch, n_frames,
+                                       num_digits)
+    return (per_digit, idx.reshape(batch, num_digits),
+            pos.reshape(batch, num_digits, n_frames, 2))
 
 
 class MovingMNIST:

@@ -11,15 +11,53 @@ from ode_rl_tpu.data.sprites import get_sprite_bank
 from ode_rl_tpu.wm.datasets import EpisodeLoader, break_batch
 
 
-def test_synthetic_flow_ground_truth_consistency():
-    """img2 must equal warp(img1, flow) by construction."""
+def test_synthetic_flow_ground_truth_consistency_smooth():
+    """style='smooth': img2 must equal warp(img1, flow) by construction."""
     from ode_rl_tpu.ops.warp import resample2d
     bank = jnp.asarray(get_sprite_bank())
     img1, img2, flow = synthetic_flow_batch(jax.random.key(0), bank,
-                                            batch=2)
+                                            batch=2, style="smooth")
     np.testing.assert_allclose(np.asarray(img2),
                                np.asarray(resample2d(img1, flow)),
                                atol=1e-6)
+
+
+def test_synthetic_flow_digits_forward_flow_exact():
+    """style='digits' (default): forward flow on frame 1 — for every
+    digit pixel whose integer displacement keeps it in bounds and whose
+    target pixel isn't occluded by a nearer digit,
+    img2[y+dy, x+dx] == img1[y, x] exactly (integer flow, no
+    interpolation); background flow is exactly zero."""
+    bank = jnp.asarray(get_sprite_bank())
+    img1, img2, flow = synthetic_flow_batch(jax.random.key(3), bank,
+                                            batch=4)
+    i1 = np.asarray(img1)[..., 0]
+    i2 = np.asarray(img2)[..., 0]
+    fl = np.asarray(flow)                               # (B, H, W, [dx,dy])
+    assert fl.shape == i1.shape + (2,)
+    assert np.all(fl == np.round(fl))                   # integer GT
+    h, w = i1.shape[1:]
+    total = exact = 0
+    for b in range(i1.shape[0]):
+        ys, xs = np.nonzero(i1[b])
+        assert len(ys)                                  # digits present
+        # background (no digit in frame 1) carries zero flow
+        bg = np.ones_like(i1[b], dtype=bool)
+        bg[ys, xs] = False
+        assert np.all(fl[b][bg] == 0.0)
+        for y, x in zip(ys, xs):
+            dx, dy = int(fl[b, y, x, 0]), int(fl[b, y, x, 1])
+            ty, tx = y + dy, x + dx
+            if not (0 <= ty < h and 0 <= tx < w):
+                continue
+            total += 1
+            # max-composite: the moved value lands at the target, so
+            # i2 there is >= it always, == it unless a brighter digit
+            # occludes the target (or a nearer digit owned the source).
+            assert i2[b, ty, tx] >= i1[b, y, x] - 1e-6, (b, y, x)
+            exact += int(i2[b, ty, tx] == i1[b, y, x])
+    assert total > 500
+    assert exact / total > 0.85                         # bulk moves exactly
 
 
 @pytest.mark.slow
